@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line with the headline metric.
+
+Headline: G+D training steps/sec on the Experiment-1 recipe shape
+(BASELINE.md: crop 192 batch 64 real images, 8 fake images of 3x3 patches of
+128px through the G_ch=52 / n_layers_G=6 / attention generator, BCE loss,
+spec_norm_D, EMA). Also reports patches/sec/chip and 1024x1024 generation
+wall-clock as secondary metrics inside the same JSON object.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md), so the
+baseline is our measured PyTorch-CPU-equivalent... not measurable here;
+vs_baseline is reported as the ratio to the round-1 recorded TPU number when
+BENCH_BASELINE.json exists, else 1.0.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    t_setup = time.time()
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_texture_gans_tpu.config import (
+        discriminator_kwargs,
+        generator_kwargs,
+        prepare_parser,
+    )
+    from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+    from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+    from infinite_texture_gans_tpu.train.train_step import (
+        create_train_state,
+        make_train_step,
+    )
+
+    # Experiment-1 recipe (BASELINE.md / reference README.md:34)
+    args = prepare_parser().parse_args([])
+    args.padding_mode = "local"
+    args.attention = True
+    args.n_layers_G = 6
+    args.n_layers_D = 4
+    args.spec_norm_D = True
+    args.smooth = True
+    args.ema = True
+    args.random_crop = 192
+    args.batch_size = 64
+    args.num_images = 8
+    if os.environ.get("BENCH_COMPUTE_DTYPE"):
+        args.compute_dtype = os.environ["BENCH_COMPUTE_DTYPE"]
+
+    G = ResidualPatchGenerator(**generator_kwargs(args))
+    D = PatchDiscriminator(**discriminator_kwargs(args))
+
+    key = jax.random.key(0)
+    state, tx_G, tx_D = create_train_state(G, D, args, key, steps_per_epoch=125)
+    step = make_train_step(
+        G, D, tx_G, tx_D,
+        loss_type=args.loss, smooth=args.smooth, disc_iters=args.disc_iters,
+        num_images=args.num_images, ema_decay=args.ema_decay, use_ema=args.ema,
+    )
+
+    real = jax.device_put(
+        np.random.default_rng(0).standard_normal(
+            (args.batch_size, args.random_crop, args.random_crop, 3), dtype=np.float32
+        ).clip(-1, 1)
+    )
+
+    # warmup / compile
+    state, _ = step(state, real, jax.random.key(1))
+    jax.block_until_ready(state.params_G)
+    setup_s = time.time() - t_setup
+
+    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    t0 = time.time()
+    for i in range(n_steps):
+        state, metrics = step(state, real, jax.random.key(2 + i))
+    jax.block_until_ready(state.params_G)
+    dt = time.time() - t0
+    steps_per_sec = n_steps / dt
+    # patches through G per train step: num_images * 3x3 (train fake grid)
+    patches_per_sec = steps_per_sec * args.num_images * 9
+
+    # 1024^2 generation wall-clock (after warmup of the step function)
+    gen_vars = {"params": state.params_G, **state.aux_G}
+    t0 = time.time()
+    img = generate_canvas(G, gen_vars, jax.random.key(9), 1024, 1024, num_images=1)
+    gen_1024_s = time.time() - t0
+    # second run: compiled path only
+    t0 = time.time()
+    img = generate_canvas(G, gen_vars, jax.random.key(10), 1024, 1024, num_images=1)
+    gen_1024_warm_s = time.time() - t0
+
+    from infinite_texture_gans_tpu.utils.metrics import adjacent_mse_baseline, seam_mse
+
+    seam = seam_mse(img, G.patch_resolution)
+    natural = adjacent_mse_baseline(img)
+
+    baseline = None
+    if os.path.exists("BENCH_BASELINE.json"):
+        try:
+            baseline = json.load(open("BENCH_BASELINE.json")).get("value")
+        except Exception:
+            baseline = None
+    vs_baseline = (steps_per_sec / baseline) if baseline else 1.0
+
+    result = {
+        "metric": "train_steps_per_sec_exp1",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(vs_baseline, 4),
+        "extra": {
+            "patches_per_sec_per_chip": round(patches_per_sec, 2),
+            "gen_1024_wall_s_cold": round(gen_1024_s, 3),
+            "gen_1024_wall_s_warm": round(gen_1024_warm_s, 3),
+            "seam_mse_1024": seam,
+            "adjacent_mse_natural": natural,
+            "setup_compile_s": round(setup_s, 1),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+            "compute_dtype": getattr(args, "compute_dtype", "float32"),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,226 @@
+"""Data pipeline.
+
+Equivalents of reference datasets/datasets_classes.py (single_image /
+multiple_images) re-designed for a TPU host loop: the source image(s) are
+decoded once into a pinned uint8 numpy array; every training step draws a
+whole *batch* of random crops with vectorised numpy indexing (the reference
+crops one sample at a time through PIL inside DataLoader workers); the
+normalised batch is shipped to device asynchronously by a double-buffering
+prefetcher so host work overlaps device compute.
+
+The "dataset" is virtual: its length is ``--sampling`` (default 8000)
+regardless of the image size (reference datasets_classes.py:40-44).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def _load_image(path: str, ext: str) -> np.ndarray:
+    """Decode an image file to (H, W, C) uint8 (or float for .txt grids).
+
+    ``.txt`` holds whitespace-separated binary geological images
+    (reference datasets_classes.py:21-23)."""
+    if ext == "txt" or path.endswith(".txt"):
+        arr = np.loadtxt(path).astype(np.float32)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        # values assumed already normalised in [0, 1]
+        return (arr * 255.0).clip(0, 255).astype(np.uint8)
+    from PIL import Image
+
+    img = Image.open(path)
+    if img.mode not in ("RGB", "L"):
+        img = img.convert("RGB")
+    arr = np.asarray(img)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr
+
+
+def _center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top : top + size, left : left + size]
+
+
+def _normalize(batch_u8: np.ndarray) -> np.ndarray:
+    """uint8 -> float32 in [-1, 1] (ToTensor + Normalize(0.5, 0.5),
+    reference datasets_classes.py:36-38)."""
+    return batch_u8.astype(np.float32) / 127.5 - 1.0
+
+
+class SingleImageDataset:
+    """One texture image; every sample is a random (or center) crop.
+
+    ``sample_batch`` produces a whole batch at once: random offsets are drawn
+    with numpy and the crops gathered by fancy indexing — O(batch) host work,
+    no per-sample Python loop or PIL round trip.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        ext: str = "jpg",
+        center_crop: Optional[int] = None,
+        random_crop: Optional[int] = None,
+        sampling: Optional[int] = 8000,
+    ):
+        self.img = _load_image(path, ext)
+        self.center_crop = center_crop
+        self.random_crop = random_crop
+        self.sampling = sampling
+        if center_crop:
+            self.img = _center_crop(self.img, center_crop)
+
+    def __len__(self) -> int:
+        return self.sampling if self.sampling else 10000
+
+    @property
+    def img_ch(self) -> int:
+        return self.img.shape[-1]
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int) -> np.ndarray:
+        h, w, c = self.img.shape
+        if self.random_crop:
+            s = self.random_crop
+            tops = rng.integers(0, h - s + 1, size=batch_size)
+            lefts = rng.integers(0, w - s + 1, size=batch_size)
+            # gather via broadcasted index arithmetic: (B, s, s, C)
+            row_idx = tops[:, None] + np.arange(s)[None, :]
+            col_idx = lefts[:, None] + np.arange(s)[None, :]
+            crops = self.img[row_idx[:, :, None], col_idx[:, None, :], :]
+            return _normalize(crops)
+        # center-cropped or whole image, replicated across the batch
+        return _normalize(np.broadcast_to(self.img, (batch_size, h, w, c)).copy())
+
+
+class MultipleImagesDataset:
+    """Directory of images with optional resize/crop
+    (reference datasets_classes.py:54-128). Decoded lazily and cached."""
+
+    def __init__(
+        self,
+        path: str,
+        ext: str = "jpg",
+        center_crop: Optional[int] = None,
+        random_crop: Optional[int] = None,
+        resize: Optional[Tuple[int, int]] = None,
+        sampling: Optional[int] = None,
+        seed: int = 0,
+    ):
+        self.path = path
+        self.ext = ext
+        self.center_crop = center_crop
+        self.random_crop = random_crop
+        self.resize = resize
+        self.sampling = sampling
+        files = sorted(os.listdir(path))
+        if sampling and sampling < len(files):
+            rng = np.random.default_rng(seed)
+            files = list(rng.choice(files, size=sampling, replace=False))
+        self.files = files
+        self._cache: dict[str, np.ndarray] = {}
+
+    def __len__(self) -> int:
+        return self.sampling if self.sampling else len(self.files)
+
+    def _get(self, name: str) -> np.ndarray:
+        if name not in self._cache:
+            arr = _load_image(os.path.join(self.path, name), self.ext)
+            if self.resize is not None:
+                from PIL import Image
+
+                h, w = self.resize
+                im = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+                arr = np.asarray(im.resize((w, h)))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+            self._cache[name] = arr
+        return self._cache[name]
+
+    def sample_batch(self, rng: np.random.Generator, batch_size: int) -> np.ndarray:
+        names = rng.choice(self.files, size=batch_size)
+        out = []
+        for name in names:
+            arr = self._get(name)
+            if self.center_crop:
+                arr = _center_crop(arr, self.center_crop)
+                # reference resizes center crops to 64 (datasets_classes.py:77-79)
+                from PIL import Image
+
+                im = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+                arr = np.asarray(im.resize((64, 64)))
+                if arr.ndim == 2:
+                    arr = arr[:, :, None]
+            elif self.random_crop:
+                s = self.random_crop
+                h, w = arr.shape[:2]
+                top = int(rng.integers(0, h - s + 1))
+                left = int(rng.integers(0, w - s + 1))
+                arr = arr[top : top + s, left : left + s]
+            out.append(arr)
+        return _normalize(np.stack(out))
+
+
+class Prefetcher:
+    """Background thread that keeps a small queue of device-resident batches
+    so the host crop sampling overlaps device compute."""
+
+    def __init__(self, dataset, batch_size: int, steps: int, seed: int, depth: int = 2,
+                 device_put=None):
+        import jax
+
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.steps = steps
+        self.rng = np.random.default_rng(seed)
+        self.q: queue.Queue = queue.Queue(maxsize=depth)
+        self.device_put = device_put or jax.device_put
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.thread.start()
+
+    def _worker(self):
+        for _ in range(self.steps):
+            batch = self.dataset.sample_batch(self.rng, self.batch_size)
+            self.q.put(self.device_put(batch))
+        self.q.put(None)
+
+    def __iter__(self) -> Iterator:
+        while True:
+            item = self.q.get()
+            if item is None:
+                return
+            yield item
+
+
+def prepare_data(args):
+    """Dataset factory (reference utils.py:158-191)."""
+    resize = None
+    if args.resize_h is not None or args.resize_w is not None:
+        resize = (args.resize_h, args.resize_w)
+    if args.data == "single_image":
+        return SingleImageDataset(
+            path=args.data_path,
+            ext=args.data_ext,
+            sampling=args.sampling,
+            random_crop=args.random_crop,
+            center_crop=args.center_crop,
+        )
+    if args.data == "multiple_images":
+        return MultipleImagesDataset(
+            path=args.data_path,
+            ext=args.data_ext,
+            sampling=args.sampling,
+            random_crop=args.random_crop,
+            center_crop=args.center_crop,
+            resize=resize,
+        )
+    raise ValueError(f"no data named: {args.data}")

@@ -1,0 +1,198 @@
+"""ResidualPatchGenerator — the flagship model.
+
+Equivalent of reference models/generators.py:4-124, re-designed for TPU:
+activations stay in merged grid layout (N, gh*H, gw*W, C) end to end, so the
+stack is a chain of large NHWC convolutions (MXU) with nearest upsampling and
+(optionally) one per-patch self-attention. 'local' padding in training mode
+is a single edge-pad per conv; at stateful inference each ConvLP site threads
+an explicit halo cache (see ops/padding.py).
+
+Stack (reference models/generators.py:59-122): start conv (z_dim -> 8*G_ch)
+-> block1 (8G->8G) -> up -> block2 (8G->4G) -> up -> block3 (4G->2G)
+-> [attention] -> up -> block4 (2G->G) -> [n>=5: up -> block5 (G->G/2)]
+-> [n==6: up -> block6 (G/2->G/4)] -> BN -> act -> final conv (->img_ch)
+-> tanh. Output patch resolution = 2^(n_layers_G-1) * base_res.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from infinite_texture_gans_tpu.models.layers import (
+    ConvLP,
+    PatchAttention,
+    ResBlockGenerator,
+    activation_fn,
+)
+from infinite_texture_gans_tpu.ops.padding import GridPos, SiteSpec, SiteState
+
+
+def generator_channel_plan(G_ch: int, n_layers_G: int) -> List[tuple[int, int]]:
+    """(in_ch, out_ch) per residual block, reference models/generators.py:61-75."""
+    plan = [
+        (G_ch * 8, G_ch * 8),
+        (G_ch * 8, G_ch * 4),
+        (G_ch * 4, G_ch * 2),
+        (G_ch * 2, G_ch),
+    ]
+    if n_layers_G >= 5:
+        plan.append((G_ch, G_ch // 2))
+    if n_layers_G == 6:
+        plan.append((G_ch // 2, G_ch // 4))
+    return plan
+
+
+def generator_site_specs(
+    G_ch: int = 52, base_res: int = 4, n_layers_G: int = 6, img_ch: int = 3
+) -> List[SiteSpec]:
+    """Halo site inventory for stateful inference, in forward-call order.
+
+    One site per local-padded conv: two per residual block plus the final
+    conv. The start conv has no site (z arrives pre-padded with real values,
+    reference models/layers.py:163-166).
+    """
+    del img_ch
+    specs: List[SiteSpec] = []
+    plan = generator_channel_plan(G_ch, n_layers_G)
+    for i, (cin, cout) in enumerate(plan, start=1):
+        res = base_res * (2 ** (i - 1))
+        specs.append(SiteSpec(f"block{i}.conv1", res, cin))
+        specs.append(SiteSpec(f"block{i}.conv2", res, cout))
+    final_res = base_res * (2 ** (n_layers_G - 1))
+    final_chin = plan[-1][1]
+    specs.append(SiteSpec("final", final_res, final_chin))
+    return specs
+
+
+class ResidualPatchGenerator(nn.Module):
+    """See module docstring. Defaults match reference utils.py:41-70.
+
+    Inputs (local mode): z merged (N, gh*base_res+2, gw*base_res+2, z_dim);
+    maps (SSM only) a list of n_layers_G merged maps, maps[i] of shape
+    (N, gh*r+4, gw*r+4, map_dim) with r = 2^i * base_res.
+    Inputs (zeros mode): z (N, base_res, base_res, z_dim); maps[i] at
+    (N, r, r, map_dim).
+
+    Returns (merged image (N, gh*P, gw*P, img_ch) in [-1, 1], halo dict or
+    None). ``halo``/``pos`` are only passed during stateful patch-by-patch
+    inference.
+    """
+
+    z_dim: int = 128
+    G_ch: int = 52
+    base_res: int = 4
+    n_layers_G: int = 6
+    attention: bool = True
+    img_ch: int = 3
+    leak: float = 0.0
+    SN: bool = False
+    type_norm: str = "BN"
+    map_dim: int = 1
+    padding_mode: str = "local"
+    outer_padding: str = "replicate"
+    num_patches_h: int = 3
+    num_patches_w: int = 3
+    padding_size: int = 1
+    conv_reduction: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        z: jnp.ndarray,
+        maps: Optional[Sequence[Optional[jnp.ndarray]]] = None,
+        *,
+        train: bool = False,
+        halo: Optional[Dict[str, SiteState]] = None,
+        pos: Optional[GridPos] = None,
+        update_sn: bool = False,
+    ):
+        if maps is None:
+            maps = [None] * self.n_layers_G
+        act = activation_fn(self.leak)
+        gh, gw = self.num_patches_h, self.num_patches_w
+        halo_out: Dict[str, SiteState] = {}
+
+        def site(name):
+            return halo.get(name) if halo is not None else None
+
+        local = self.padding_mode == "local"
+        # start conv: in local mode z is pre-padded by build_z; valid conv.
+        h, _ = ConvLP(
+            self.G_ch * 8,
+            sn=self.SN,
+            padding_mode=self.padding_mode,
+            outer_padding=self.outer_padding,
+            pre_padded=local,
+            gh=gh,
+            gw=gw,
+            dtype=self.dtype,
+            name="start",
+        )(z, update_sn=update_sn)
+
+        plan = generator_channel_plan(self.G_ch, self.n_layers_G)
+        from infinite_texture_gans_tpu.ops.grid import upsample_nearest
+
+        for i, (cin, cout) in enumerate(plan, start=1):
+            if i > 1:
+                h = upsample_nearest(h, 2)
+            bname = f"block{i}"
+            h1 = site(f"{bname}.conv1")
+            h2 = site(f"{bname}.conv2")
+            h, h1, h2 = ResBlockGenerator(
+                in_features=cin,
+                features=cout,
+                type_norm=self.type_norm,
+                leak=self.leak,
+                sn=self.SN,
+                padding_mode=self.padding_mode,
+                outer_padding=self.outer_padding,
+                gh=gh,
+                gw=gw,
+                dtype=self.dtype,
+                name=bname,
+            )(h, maps[i - 1], h1, h2, pos, train=train, update_sn=update_sn)
+            if halo is not None:
+                halo_out[f"{bname}.conv1"] = h1
+                halo_out[f"{bname}.conv2"] = h2
+            if i == 3 and self.attention:
+                # Per-patch self-attention after block3
+                # (reference models/generators.py:101-102).
+                if local:
+                    h = PatchAttention(gh, gw, self.SN, self.dtype, name="attention")(
+                        h, update_sn=update_sn
+                    )
+                else:
+                    h = PatchAttention(1, 1, self.SN, self.dtype, name="attention")(
+                        h, update_sn=update_sn
+                    )
+
+        if self.type_norm == "BN":
+            h = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+            )(h)
+        h = act(h)
+        h, hf = ConvLP(
+            self.img_ch,
+            sn=self.SN,
+            padding_mode=self.padding_mode,
+            outer_padding=self.outer_padding,
+            gh=gh,
+            gw=gw,
+            dtype=self.dtype,
+            name="final",
+        )(h, site("final"), pos, update_sn=update_sn)
+        if halo is not None:
+            halo_out["final"] = hf
+        out = jnp.tanh(h)
+        return out, (halo_out if halo is not None else None)
+
+    @property
+    def patch_resolution(self) -> int:
+        return (2 ** (self.n_layers_G - 1)) * self.base_res
+
+    def site_specs(self) -> List[SiteSpec]:
+        return generator_site_specs(self.G_ch, self.base_res, self.n_layers_G, self.img_ch)

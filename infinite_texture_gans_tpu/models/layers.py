@@ -1,0 +1,352 @@
+"""Model building blocks (flax.linen, NHWC).
+
+Equivalents of reference models/layers.py:8-400, re-designed for the merged
+grid layout: ConvLP (conv with local padding), StochasticSpatialModulation,
+Attention, generator/discriminator residual blocks.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from infinite_texture_gans_tpu.ops.conv import Conv, conv1x1, conv3x3
+from infinite_texture_gans_tpu.ops.grid import grid_to_patches, patches_to_grid
+from infinite_texture_gans_tpu.ops.padding import (
+    GridPos,
+    SiteState,
+    halo_pad_step,
+    local_pad,
+)
+
+
+def activation_fn(leak: float):
+    """LeakyReLU(leak) if leak > 0 else ReLU (reference models/layers.py:289-292)."""
+    if leak > 0:
+        return lambda x: nn.leaky_relu(x, negative_slope=leak)
+    return nn.relu
+
+
+class ConvLP(nn.Module):
+    """3x3 conv with local or zero padding (reference conv2d_lp,
+    models/layers.py:8-36).
+
+    'local' mode operates on the merged grid: outer edge padding in training
+    (identical to the reference merge->pad->overlap-crop per patch), halo
+    cache assembly at stateful inference. 'zeros' mode is an ordinary pad-1
+    conv.
+
+    The start conv of the generator uses ``pre_padded=True``: its input (the
+    spatial latent z) already carries a 1px halo of real values
+    (reference models/layers.py:163-166 skips padding for z).
+    """
+
+    features: int
+    sn: bool = False
+    padding_mode: str = "local"
+    outer_padding: str = "replicate"
+    pre_padded: bool = False
+    gh: int = 3
+    gw: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        halo: Optional[SiteState] = None,
+        pos: Optional[GridPos] = None,
+        *,
+        update_sn: bool = False,
+    ):
+        if self.padding_mode == "local":
+            if self.pre_padded:
+                padded = x
+            elif halo is None:
+                padded = local_pad(x, 1, self.outer_padding)
+            else:
+                padded, halo = halo_pad_step(
+                    x, halo, pos, self.gh, self.gw, self.outer_padding
+                )
+            y = conv3x3(self.features, self.sn, padding=0, dtype=self.dtype, name="conv")(
+                padded, update_sn=update_sn
+            )
+        else:
+            y = conv3x3(self.features, self.sn, padding=1, dtype=self.dtype, name="conv")(
+                x, update_sn=update_sn
+            )
+        return y, halo
+
+
+def _ssm_embed_init(hidden: int, in_channel: int):
+    """Reference SSM embed init (models/layers.py:225-226), code-truth:
+
+    after a full orthogonal init, torch re-orthogonalizes the *input-channel*
+    slice ``weight[:, :in_channel]`` and zeroes ``weight[:, in_channel:]``
+    (a quirk — the comment intent was the gamma/beta output split, the code
+    slices input channels). Reproduced faithfully on the HWIO kernel.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        kh, kw, cin, cout = shape  # cin == hidden(128), cout == 2*in_channel
+        cut = min(in_channel, cin)
+        sub = nn.initializers.orthogonal(column_axis=-1)(key, (kh, kw, cut, cout), dtype)
+        kernel = jnp.zeros(shape, dtype)
+        return kernel.at[:, :, :cut, :].set(sub)
+
+    return init
+
+
+class StochasticSpatialModulation(nn.Module):
+    """SPADE-style normalization with a random spatial map (reference
+    models/layers.py:203-234): parameter-free BN, then gamma/beta predicted
+    from the map by two 3x3 convs.
+
+    In 'local' padding mode the convs are valid (p=0) and the map must arrive
+    4px oversized; overlapping per-patch map crops in the reference are
+    equivalent to one valid conv chain on the merged oversized map.
+    """
+
+    sn: bool = False
+    padding_mode: str = "local"
+    hidden: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        maps: jnp.ndarray,
+        *,
+        train: bool,
+        update_sn: bool = False,
+    ) -> jnp.ndarray:
+        c = x.shape[-1]
+        out = nn.BatchNorm(
+            use_running_average=not train,
+            use_scale=False,
+            use_bias=False,
+            momentum=0.9,
+            epsilon=1e-5,
+            name="bn",
+        )(x)
+        p = 1 if self.padding_mode == "zeros" else 0
+        actv = conv3x3(self.hidden, self.sn, padding=p, dtype=self.dtype, name="mlp_shared")(
+            maps.astype(jnp.float32), update_sn=update_sn
+        )
+        actv = nn.relu(actv)
+        embed = Conv(
+            2 * c,
+            3,
+            1,
+            p,
+            True,
+            self.sn,
+            self.dtype,
+            kernel_init=_ssm_embed_init(self.hidden, c),
+            name="embed",
+        )(actv, update_sn=update_sn)
+        gamma, beta = jnp.split(embed, 2, axis=-1)
+        return (1 + gamma) * out + beta
+
+
+class Attention(nn.Module):
+    """SAGAN self-attention (reference models/layers.py:236-258), applied
+    per patch — patches are batch entries, so there is no cross-patch
+    attention. 2x2 max-pool on phi/g keys/values, learnable scalar gamma
+    initialized to 0."""
+
+    sn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        theta = conv1x1(c // 8, self.sn, dtype=self.dtype, name="theta")(x, update_sn=update_sn)
+        phi = conv1x1(c // 8, self.sn, dtype=self.dtype, name="phi")(x, update_sn=update_sn)
+        g = conv1x1(c // 2, self.sn, dtype=self.dtype, name="g")(x, update_sn=update_sn)
+        phi = nn.max_pool(phi, (2, 2), strides=(2, 2))
+        g = nn.max_pool(g, (2, 2), strides=(2, 2))
+
+        theta = theta.reshape(b, h * w, c // 8)
+        phi = phi.reshape(b, (h * w) // 4, c // 8)
+        g = g.reshape(b, (h * w) // 4, c // 2)
+
+        beta = jax.nn.softmax(theta @ phi.transpose(0, 2, 1), axis=-1)
+        o = (beta @ g).reshape(b, h, w, c // 2)
+        o = conv1x1(c, self.sn, dtype=self.dtype, name="o")(o, update_sn=update_sn)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma * o + x
+
+
+class PatchAttention(nn.Module):
+    """Attention on a merged grid: split into patches, attend per patch,
+    merge back. Pure reshapes around :class:`Attention`."""
+
+    gh: int = 3
+    gw: int = 3
+    sn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
+        p = grid_to_patches(x, self.gh, self.gw)
+        p = Attention(self.sn, self.dtype, name="attn")(p, update_sn=update_sn)
+        return patches_to_grid(p, self.gh, self.gw)
+
+
+class ResBlockGenerator(nn.Module):
+    """Pre-activation generator residual block (reference
+    models/layers.py:260-322): norm-act-convLP-norm-act-convLP with a 1x1
+    shortcut when channels change. Norm is BN or SSM; with SSM the shortcut
+    gets its own bn3."""
+
+    in_features: int
+    features: int
+    type_norm: str = "BN"
+    leak: float = 0.0
+    sn: bool = False
+    padding_mode: str = "local"
+    outer_padding: str = "replicate"
+    gh: int = 3
+    gw: int = 3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        maps: Optional[jnp.ndarray] = None,
+        halo1: Optional[SiteState] = None,
+        halo2: Optional[SiteState] = None,
+        pos: Optional[GridPos] = None,
+        *,
+        train: bool,
+        update_sn: bool = False,
+    ):
+        act = activation_fn(self.leak)
+        learnable_sc = self.in_features != self.features
+        convlp_kw = dict(
+            sn=self.sn,
+            padding_mode=self.padding_mode,
+            outer_padding=self.outer_padding,
+            gh=self.gh,
+            gw=self.gw,
+            dtype=self.dtype,
+        )
+
+        if self.type_norm == "SSM":
+            out = act(
+                StochasticSpatialModulation(
+                    self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
+                )(x, maps, train=train, update_sn=update_sn)
+            )
+        else:
+            out = act(
+                nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+                )(x)
+            )
+        out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
+            out, halo1, pos, update_sn=update_sn
+        )
+
+        if self.type_norm == "SSM":
+            out = act(
+                StochasticSpatialModulation(
+                    self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
+                )(out, maps, train=train, update_sn=update_sn)
+            )
+        else:
+            out = act(
+                nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+                )(out)
+            )
+        out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
+            out, halo2, pos, update_sn=update_sn
+        )
+
+        sc = x
+        if learnable_sc:
+            if self.type_norm == "SSM":
+                sc = StochasticSpatialModulation(
+                    self.sn, self.padding_mode, dtype=self.dtype, name="bn3"
+                )(sc, maps, train=train, update_sn=update_sn)
+            sc = conv1x1(self.features, self.sn, dtype=self.dtype, name="conv3")(
+                sc, update_sn=update_sn
+            )
+        return out + sc, halo1, halo2
+
+
+class ResBlockDiscriminator(nn.Module):
+    """SNGAN discriminator residual block (reference models/layers.py:325-374)."""
+
+    features: int
+    downsample: bool = False
+    leak: float = 0.0
+    sn: bool = True
+    bn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = True, update_sn: bool = False):
+        act = activation_fn(self.leak)
+        in_features = x.shape[-1]
+        learnable_sc = (in_features != self.features) or self.downsample
+
+        h = x
+        if self.bn:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+        h = act(h)
+        h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv1")(h, update_sn=update_sn)
+        if self.bn:
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+        h = act(h)
+        h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv2")(h, update_sn=update_sn)
+        if self.downsample:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+
+        sc = x
+        if learnable_sc:
+            sc = conv1x1(self.features, self.sn, dtype=self.dtype, name="conv3")(
+                sc, update_sn=update_sn
+            )
+            if self.downsample:
+                sc = nn.avg_pool(sc, (2, 2), strides=(2, 2))
+        return h + sc
+
+
+class OptimizedBlock(nn.Module):
+    """Discriminator stem block (reference models/layers.py:376-400)."""
+
+    features: int
+    leak: float = 0.0
+    sn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False):
+        act = activation_fn(self.leak)
+        h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv1")(x, update_sn=update_sn)
+        h = act(h)
+        h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv2")(h, update_sn=update_sn)
+        h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+        sc = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        sc = conv1x1(self.features, self.sn, dtype=self.dtype, name="conv3")(sc, update_sn=update_sn)
+        return h + sc
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm2d, affine=False (reference models/discriminators.py:183-185)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = x.mean(axis=(1, 2), keepdims=True)
+        var = x.var(axis=(1, 2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.epsilon)

@@ -1,0 +1,72 @@
+"""Inference CLI — equivalent of reference test_sample.py.
+
+Loads a checkpoint (framework .ckpt or reference .pth), rebuilds the
+generator from the config stored inside it, and generates an arbitrarily
+large seamless texture via the patch-by-patch halo engine ('local' mode) or
+the single-pass / tiled baseline ('zeros' mode).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from infinite_texture_gans_tpu.config import prepare_sample_parser
+from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+from infinite_texture_gans_tpu.sampling.tiled import sample_from_gen
+from infinite_texture_gans_tpu.train.checkpoint import load_generator_from_checkpoint
+
+
+def save_image(img: np.ndarray, path: str) -> None:
+    """(H, W, C) float in [-1, 1] -> image file ((img*0.5+0.5), reference
+    test_sample.py:79)."""
+    from PIL import Image
+
+    arr = np.clip((img * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    if arr.shape[-1] == 1:
+        arr = arr[:, :, 0]
+    Image.fromarray(arr).save(path)
+
+
+def main():
+    args_sample = prepare_sample_parser().parse_args()
+    netG, variables, args = load_generator_from_checkpoint(args_sample.model_path)
+    print(args)
+
+    seed = args_sample.seed if args_sample.seed is not None else 0
+    key = jax.random.key(seed)
+
+    if args.padding_mode == "local":
+        img = generate_canvas(
+            netG,
+            variables,
+            key,
+            output_resolution_height=args_sample.output_resolution_height,
+            output_resolution_width=args_sample.output_resolution_width,
+            num_images=args_sample.batch,
+            progress=True,
+        )
+    else:
+        scale = 2 ** (netG.n_layers_G - 1)
+        new_base_res = args_sample.output_resolution_height // scale
+        img = np.asarray(
+            sample_from_gen(
+                netG,
+                variables,
+                key,
+                num_images=args_sample.batch,
+                base_res=new_base_res,
+                tiles=args_sample.tiles,
+            )
+        )
+
+    folder = os.path.dirname(args_sample.model_path)
+    saving_path = os.path.join(folder, args_sample.output_name)
+    print("The image is saved as:", saving_path)
+    save_image(img[0], saving_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Infinite-canvas generation engine.
+
+Equivalent of reference utils.py:258-397 (sample_from_gen_PatchByPatch_test)
+and utils.py:475-527 (the training-time 3x3-grid forward), re-designed:
+
+* The halo cache is an explicit pytree threaded through the raster scan —
+  no module state, jit-safe (reference: 4 mutable tensors inside every conv,
+  models/layers.py:70-143, with per-step .cpu() round-trips).
+* One compiled step function serves every canvas position; the reference's
+  9-way ``image_location`` string dispatch becomes traced boolean flags.
+* Canvas assembly is write-full/last-writer-wins into a host buffer, which
+  reproduces the reference's "crop off re-generated right column / bottom
+  row" protocol (utils.py:364-377) with no branching.
+* Device memory stays O(sub-image) + O(canvas row) halo buffers; the canvas
+  lives on host.
+
+The correctness definition is exact agreement with :func:`generate_one_pass`
+(the same network run once over the whole canvas) — the identity the local
+padding scheme is designed to achieve.
+"""
+
+from __future__ import annotations
+
+import functools
+from math import ceil
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.ops.padding import (
+    GridPos,
+    finalize_row,
+    init_halo_state,
+    rotate_rows,
+)
+from infinite_texture_gans_tpu.sampling import latents
+
+
+def canvas_geometry(out_h: int, out_w: int, patch_res: int, gh: int, gw: int):
+    """Steps and total patch counts for a target resolution
+    (reference utils.py:294-303)."""
+    steps_h = max(1, ceil((out_h / patch_res - 1) / (gh - 1)))
+    steps_w = max(1, ceil((out_w / patch_res - 1) / (gw - 1)))
+    total_h = steps_h * (gh - 1) + 1
+    total_w = steps_w * (gw - 1) + 1
+    return steps_h, steps_w, total_h, total_w
+
+
+def generate_canvas(
+    gen: ResidualPatchGenerator,
+    variables,
+    key: jax.Array,
+    output_resolution_height: int = 384,
+    output_resolution_width: int = 384,
+    num_images: int = 1,
+    z_full: Optional[jnp.ndarray] = None,
+    maps_full: Optional[List[jnp.ndarray]] = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """Raster-scan patch-by-patch generation of an (out_h, out_w) canvas.
+
+    Returns a host numpy array (N, out_h, out_w, img_ch) in [-1, 1].
+    ``z_full``/``maps_full`` may be passed explicitly (e.g. to compare with
+    the one-pass oracle); otherwise they are drawn from ``key``.
+    """
+    P = gen.patch_resolution
+    gh, gw = gen.num_patches_h, gen.num_patches_w
+    steps_h, steps_w, tot_h, tot_w = canvas_geometry(
+        output_resolution_height, output_resolution_width, P, gh, gw
+    )
+
+    zk, mk = jax.random.split(key)
+    if z_full is None:
+        z_full = latents.build_z_full(zk, num_images, gen.z_dim, gen.base_res, tot_h, tot_w)
+    if gen.type_norm == "SSM" and maps_full is None:
+        maps_full = latents.build_maps_full(
+            mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
+        )
+
+    halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w)
+
+    @jax.jit
+    def step(variables, z_sub, maps_sub, halo, col, first_row, first_col):
+        pos = GridPos(col=col, first_row=first_row, first_col=first_col)
+        out, halo_out = gen.apply(
+            variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
+        )
+        return out, halo_out
+
+    canvas = np.zeros(
+        (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32
+    )
+    outer = gen.outer_padding
+    for r in range(steps_h):
+        for c in range(steps_w):
+            z_sub = latents.slice_sub_z(z_full, r, c, gen.base_res, gh, gw)
+            maps_sub = (
+                latents.slice_sub_maps(maps_full, r, c, gen.base_res, gh, gw)
+                if maps_full is not None
+                else None
+            )
+            out, halo = step(
+                variables,
+                z_sub,
+                maps_sub,
+                halo,
+                jnp.int32(c),
+                jnp.bool_(r == 0),
+                jnp.bool_(c == 0),
+            )
+            # Write the full sub-image; later steps overwrite the
+            # re-generated right patch-column / bottom patch-row.
+            sub = np.asarray(out)
+            canvas[
+                :,
+                r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
+                c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
+                :,
+            ] = sub
+            if progress:
+                print(f"  sub-image ({r + 1}/{steps_h}, {c + 1}/{steps_w})", flush=True)
+        # Row completed: fill border cells of the accumulated row buffers and
+        # hand them to the next row (host-side pytree shuffle).
+        halo = {
+            name: rotate_rows(finalize_row(site, outer)) for name, site in halo.items()
+        }
+    return canvas[:, :output_resolution_height, :output_resolution_width, :]
+
+
+def generate_one_pass(
+    gen: ResidualPatchGenerator,
+    variables,
+    z_full: jnp.ndarray,
+    maps_full: Optional[List[jnp.ndarray]] = None,
+    total_patches_h: int = 3,
+    total_patches_w: int = 3,
+):
+    """One-pass oracle: run the generator once over the entire canvas grid.
+
+    Mathematically what the patch-by-patch engine must reproduce exactly.
+    Used for testing and for small canvases that fit in one pass (this is
+    also the training-time forward for (gh, gw) = grid, reference
+    utils.py:475-527).
+    """
+    big = gen.clone(
+        num_patches_h=total_patches_h, num_patches_w=total_patches_w
+    )
+
+    @jax.jit
+    def fwd(variables, z, maps):
+        out, _ = big.apply(variables, z, maps, train=False)
+        return out
+
+    return fwd(variables, z_full, maps_full)
+
+
+def sample_from_gen_patch_by_patch_train(
+    gen: ResidualPatchGenerator, variables, key: jax.Array, num_images: int = 8
+):
+    """Training-time fake sampling: one (gh x gw)-grid forward -> merged fakes
+    (reference utils.py:475-527). Pure function of (variables, key)."""
+    zk, mk = jax.random.split(key)
+    z = latents.build_train_z(
+        zk, num_images, gen.z_dim, gen.base_res, gen.num_patches_h, gen.num_patches_w
+    )
+    maps = None
+    if gen.type_norm == "SSM":
+        maps = latents.build_train_maps(
+            mk,
+            num_images,
+            gen.map_dim,
+            gen.n_layers_G,
+            gen.base_res,
+            gen.num_patches_h,
+            gen.num_patches_w,
+        )
+    out, _ = gen.apply(variables, z, maps, train=False)
+    return out

@@ -1,0 +1,112 @@
+"""Checkpointing.
+
+Preserves the reference checkpoint *contract* (reference train.py:200-217 /
+test_sample.py:49-62): a checkpoint embeds the full training config, loss
+history and seed, and the generator is reconstructed from the stored config
+at load time. Beyond the reference (save-only), checkpoints here also carry
+optimizer and EMA state for true resume.
+
+Format: a single msgpack file via flax.serialization (framework-native,
+torch-free). Reference ``.pth`` checkpoints load transparently through the
+torch importer, so trained reference models run on TPU unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+MAGIC = b"ITGTPU1\n"
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
+    """payload: arbitrary dict of pytrees + JSON-serialisable metadata under
+    the 'meta' key."""
+    meta = payload.pop("meta", {})
+    blob = serialization.msgpack_serialize(_to_numpy_tree(payload))
+    meta_blob = json.dumps(meta).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack("<Q", len(meta_blob)))
+        f.write(meta_blob)
+        f.write(blob)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Load a framework checkpoint OR a reference torch .pth checkpoint.
+
+    Returns a dict with 'meta' (config etc.) and the stored pytrees. For
+    .pth files, returns {'meta': {'args': ...}, 'torch_state_dicts': {...}}
+    for the callers to convert via utils.torch_import.
+    """
+    with open(path, "rb") as f:
+        head = f.read(len(MAGIC))
+        if head == MAGIC:
+            (meta_len,) = struct.unpack("<Q", f.read(8))
+            meta = json.loads(f.read(meta_len).decode())
+            tree = serialization.msgpack_restore(f.read())
+            tree["meta"] = meta
+            return tree
+    # fall through: torch checkpoint
+    from infinite_texture_gans_tpu.utils.torch_import import load_torch_checkpoint
+
+    ckpt = load_torch_checkpoint(path)
+    args = ckpt.get("args")
+    meta: Dict[str, Any] = {}
+    if args is not None:
+        meta["args"] = {k: v for k, v in vars(args).items()}
+    for k in ("epoch", "seed", "Gloss", "Dloss"):
+        if k in ckpt:
+            meta[k] = ckpt[k]
+    out: Dict[str, Any] = {"meta": meta, "torch_state_dicts": {}}
+    for k in ("netG_state_dict", "netD_state_dict"):
+        if k in ckpt:
+            out["torch_state_dicts"][k] = ckpt[k]
+    return out
+
+
+def load_generator_from_checkpoint(path: str, ema: Optional[bool] = None):
+    """Rebuild a generator (module + variables) from any checkpoint,
+    reproducing the reference's config-from-checkpoint flow
+    (test_sample.py:51-62). Returns (gen_module, variables, args_namespace).
+    """
+    from infinite_texture_gans_tpu.config import dict_to_args, generator_kwargs
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+
+    ckpt = load_checkpoint(path)
+    args = dict_to_args(ckpt["meta"]["args"])
+    # inference always rebuilds with SN off and the default 3x3 grid
+    # (reference test_sample.py:55-58)
+    kwargs = generator_kwargs(args)
+    kwargs.update(SN=False, num_patches_h=3, num_patches_w=3)
+    gen = ResidualPatchGenerator(**kwargs)
+
+    if "torch_state_dicts" in ckpt:
+        from infinite_texture_gans_tpu.utils.torch_import import import_generator
+
+        variables = import_generator(
+            ckpt["torch_state_dicts"]["netG_state_dict"],
+            n_layers_G=args.n_layers_G,
+            type_norm=args.type_norm_G,
+            attention=args.attention,
+        )
+    else:
+        if ema and "ema" in ckpt and ckpt["ema"]:
+            variables = {
+                "params": ckpt["ema"]["params"],
+                "batch_stats": ckpt["ema"]["batch_stats"],
+            }
+        else:
+            variables = ckpt["netG_variables"]
+    return gen, variables, args

@@ -1,0 +1,220 @@
+"""End-to-end training driver.
+
+Equivalent of reference train.py:12-227, with the loop body compiled into a
+single jitted step (train_step.py). Flow, prints, loss accounting, checkpoint
+cadence, the EMA side model and the losses.png plot match the reference; the
+multi-device path uses a data mesh instead of nn.DataParallel.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from infinite_texture_gans_tpu.config import (
+    args_to_dict,
+    discriminator_kwargs,
+    generator_kwargs,
+    prepare_parser,
+)
+from infinite_texture_gans_tpu.data.datasets import Prefetcher, prepare_data
+from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from infinite_texture_gans_tpu.train.checkpoint import save_checkpoint
+from infinite_texture_gans_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def prepare_seed(args) -> int:
+    """Random seed unless fixed (reference utils.py:147-156)."""
+    seed = args.seed if args.seed is not None else random.randint(1, 10000)
+    print("Random Seed: ", seed)
+    return seed
+
+
+def prepare_models(args):
+    """Model factory (reference utils.py:195-208). Only patch_GAN builds a
+    discriminator — other --D_model values error, matching the reference's
+    effective behaviour (unbound netD)."""
+    netG = ResidualPatchGenerator(**generator_kwargs(args))
+    if args.D_model == "patch_GAN":
+        netD = PatchDiscriminator(**discriminator_kwargs(args))
+    else:
+        raise ValueError(
+            f"--D_model {args.D_model}: only patch_GAN is wired into the "
+            "training pipeline (reference utils.py:205-208)"
+        )
+    return netG, netD
+
+
+def prepare_filename(args) -> str:
+    """Checkpoint prefix <fname>/<epochs>_ (reference utils.py:211-218)."""
+    import os
+
+    filename = f"{args.epochs}_"
+    if args.fname is not None:
+        os.makedirs(args.fname, exist_ok=True)
+        filename = f"{args.fname}/{filename}"
+    return filename
+
+
+def param_count(tree) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(tree))
+
+
+def train(args) -> None:
+    seed = prepare_seed(args)
+    print(args)
+
+    dataset = prepare_data(args)
+    print("Training samples: ", len(dataset))
+
+    netG, netD = prepare_models(args)
+
+    steps_per_epoch = max(1, math.ceil(len(dataset) / args.batch_size))
+    key = jax.random.key(seed)
+    key, init_key = jax.random.split(key)
+    state, tx_G, tx_D = create_train_state(netG, netD, args, init_key, steps_per_epoch)
+
+    print(netG)
+    print(netD)
+    print("# Params. G: ", param_count(state.params_G))
+    print("# Params. D: ", param_count(state.params_D))
+
+    mesh = make_mesh(getattr(args, "mesh", None), args.num_gpus)
+    if mesh is not None:
+        print(f"mesh: {mesh}")
+        state = replicate(state, mesh)
+
+    train_step = make_train_step(
+        netG,
+        netD,
+        tx_G,
+        tx_D,
+        loss_type=args.loss,
+        smooth=args.smooth,
+        disc_iters=args.disc_iters,
+        num_images=args.num_images,
+        ema_decay=args.ema_decay,
+        use_ema=args.ema,
+    )
+
+    filename = prepare_filename(args)
+    start_time = time.time()
+    G_losses, D_losses = [], []
+
+    profiled = False
+    print("Starting Training Loop...")
+    for epoch in range(args.epochs):
+        key, data_key, epoch_key = jax.random.split(key, 3)
+        prefetcher = Prefetcher(
+            dataset,
+            args.batch_size,
+            steps_per_epoch,
+            seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
+            device_put=(lambda x: shard_batch(x, mesh)),
+        )
+        d_run = 0.0
+        g_run = 0.0
+        ex_d = 0
+        ex_g = 0
+        step_keys = jax.random.split(epoch_key, steps_per_epoch)
+        if args.profile_dir and not profiled and epoch == 0:
+            jax.profiler.start_trace(args.profile_dir)
+        for i, real_x in enumerate(prefetcher):
+            state, metrics = train_step(state, real_x, step_keys[i])
+            b_size = real_x.shape[0]
+            d_run += float(metrics["d_loss_fake"]) * args.num_images + float(
+                metrics["d_loss_real"]
+            ) * b_size
+            g_run += float(metrics["g_loss"]) * args.num_images
+            ex_d += b_size
+            ex_g += args.num_images
+            if args.profile_dir and not profiled and epoch == 0 and i == 4:
+                jax.block_until_ready(state.params_G)
+                jax.profiler.stop_trace()
+                profiled = True
+
+        d_run /= max(1, ex_d)
+        g_run /= max(1, ex_g)
+        elapsed_min = (time.time() - start_time) / 60
+        steps_sec = (epoch + 1) * steps_per_epoch / (time.time() - start_time)
+        print(
+            "[%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f, elapsed_time = %.4f min (%.2f steps/s)"
+            % (epoch + 1, args.epochs, d_run, g_run, elapsed_min, steps_sec)
+        )
+        G_losses.append(g_run)
+        D_losses.append(d_run)
+
+        if args.saving_rate is not None and (
+            (epoch + 1) % args.saving_rate == 0 or (epoch + 1) == args.epochs
+        ):
+            save_checkpoint(
+                filename + f"{epoch + 1}.ckpt",
+                {
+                    "meta": {
+                        "epoch": epoch + 1,
+                        "args": args_to_dict(args),
+                        "seed": seed,
+                        "Gloss": G_losses,
+                        "Dloss": D_losses,
+                    },
+                    "netG_variables": {"params": state.params_G, **state.aux_G},
+                    "netD_variables": {"params": state.params_D, **state.aux_D},
+                    "opt_G": state.opt_G,
+                    "opt_D": state.opt_D,
+                    "ema": state.ema if state.ema is not None else {},
+                },
+            )
+
+        if epoch + 1 == args.epochs:
+            if args.ema:
+                save_checkpoint(
+                    filename + "_ema.ckpt",
+                    {
+                        "meta": {"args": args_to_dict(args)},
+                        "netG_variables": {
+                            "params": state.ema["params"],
+                            "batch_stats": state.ema["batch_stats"],
+                        },
+                    },
+                )
+            _plot_losses(G_losses, D_losses, filename)
+
+
+def _plot_losses(G_losses, D_losses, filename) -> None:
+    """losses.png (reference train.py:220-227)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return
+    fig = plt.figure(figsize=(10, 5))
+    plt.title("Generator and Discriminator Loss During Training")
+    plt.plot(G_losses, label="G")
+    plt.plot(D_losses, label="D")
+    plt.xlabel("iterations")
+    plt.ylabel("Loss")
+    plt.legend()
+    fig.savefig(filename + "losses.png")
+    plt.close(fig)
+
+
+def main():
+    args = prepare_parser().parse_args()
+    train(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,262 @@
+"""Single fused G+D training step (jit), TrainState, optimizers.
+
+Replicates the reference loop semantics (reference train.py:106-181) in one
+compiled function:
+
+* per D iteration: fresh z -> G forward (train mode: BN batch stats update,
+  SN power iteration), D on real + detached fake, BCE/hinge/wgan loss,
+  separate-backward-accumulate == grad of the sum, Adam step
+  (train.py:124-153);
+* G update re-uses the LAST D-iteration's z and pre-forward G state — the
+  exact graph torch reuses for the G backward (train.py:161-169);
+* EMA blend of G params + BN stats after the G step (train.py:176-180).
+
+Everything is explicit functional state: no hooks, no module mutation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from infinite_texture_gans_tpu.sampling import latents
+from infinite_texture_gans_tpu.train import losses as L
+
+
+@flax.struct.dataclass
+class TrainState:
+    params_G: Any
+    aux_G: Dict[str, Any]  # batch_stats / spectral collections
+    params_D: Any
+    aux_D: Dict[str, Any]
+    opt_G: optax.OptState
+    opt_D: optax.OptState
+    ema: Optional[Dict[str, Any]]  # {'params', 'batch_stats'} or None
+    step: jnp.ndarray
+
+
+def lr_schedule(base_lr: float, decay_lr: Optional[str], steps_per_epoch: int):
+    """Per-epoch LR schedules of reference train.py:61-70: 'exp' gamma=0.99,
+    'step' milestones [40, 80, 120] gamma=0.5."""
+    if decay_lr == "exp":
+        return lambda step: base_lr * 0.99 ** (step // steps_per_epoch)
+    if decay_lr == "step":
+        milestones = jnp.array([40, 80, 120])
+
+        def sched(step):
+            epoch = step // steps_per_epoch
+            return base_lr * 0.5 ** jnp.sum(epoch >= milestones)
+
+        return sched
+    return base_lr
+
+
+def make_optimizers(args, steps_per_epoch: int):
+    tx_G = optax.adam(
+        lr_schedule(args.lr_G, args.decay_lr, steps_per_epoch),
+        b1=args.beta1,
+        b2=args.beta2,
+        eps=1e-8,
+    )
+    tx_D = optax.adam(
+        lr_schedule(args.lr_D, args.decay_lr, steps_per_epoch),
+        b1=args.beta1,
+        b2=args.beta2,
+        eps=1e-8,
+    )
+    return tx_G, tx_D
+
+
+def split_variables(variables) -> Tuple[Any, Dict[str, Any]]:
+    v = dict(flax.core.unfreeze(variables))
+    params = v.pop("params")
+    return params, v
+
+
+def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainState, Any, Any]:
+    """Initialise models + optimizers. Returns (state, tx_G, tx_D)."""
+    kg, kd = jax.random.split(key)
+    gh, gw = G.num_patches_h, G.num_patches_w
+    if G.padding_mode == "local":
+        z = jnp.zeros((1, gh * G.base_res + 2, gw * G.base_res + 2, G.z_dim))
+    else:
+        z = jnp.zeros((1, G.base_res, G.base_res, G.z_dim))
+    maps = None
+    if G.type_norm == "SSM":
+        maps = latents.build_train_maps(
+            jax.random.key(0), 1, G.map_dim, G.n_layers_G, G.base_res, gh, gw
+        ) if G.padding_mode == "local" else [
+            jnp.zeros((1, (2**i) * G.base_res, (2**i) * G.base_res, G.map_dim))
+            for i in range(G.n_layers_G)
+        ]
+    g_vars = jax.jit(lambda z, m: G.init(kg, z, m, train=True))(z, maps)
+    d_vars = jax.jit(lambda x: D.init(kd, x, train=True))(jnp.zeros((1, 64, 64, args.img_ch)))
+
+    params_G, aux_G = split_variables(g_vars)
+    params_D, aux_D = split_variables(d_vars)
+    tx_G, tx_D = make_optimizers(args, steps_per_epoch)
+    ema = None
+    if args.ema:
+        ema = {
+            "params": jax.tree_util.tree_map(jnp.copy, params_G),
+            "batch_stats": jax.tree_util.tree_map(
+                jnp.copy, aux_G.get("batch_stats", {})
+            ),
+        }
+    state = TrainState(
+        params_G=params_G,
+        aux_G=aux_G,
+        params_D=params_D,
+        aux_D=aux_D,
+        opt_G=tx_G.init(params_G),
+        opt_D=tx_D.init(params_D),
+        ema=ema,
+        step=jnp.zeros((), jnp.int32),
+    )
+    return state, tx_G, tx_D
+
+
+def make_train_step(
+    G,
+    D,
+    tx_G,
+    tx_D,
+    *,
+    loss_type: str = "standard",
+    smooth: bool = False,
+    disc_iters: int = 1,
+    num_images: int = 8,
+    ema_decay: float = 0.999,
+    use_ema: bool = False,
+) -> Callable:
+    """Build the jitted train step: (state, real_x, key) -> (state, metrics)."""
+    label_t = 0.9 if smooth else 1.0
+    gh, gw = G.num_patches_h, G.num_patches_w
+    local = G.padding_mode == "local"
+
+    def sample_z_maps(key):
+        zk, mk = jax.random.split(key)
+        if local:
+            z = latents.build_train_z(zk, num_images, G.z_dim, G.base_res, gh, gw)
+        else:
+            z = jax.random.normal(zk, (num_images, G.base_res, G.base_res, G.z_dim))
+        maps = None
+        if G.type_norm == "SSM":
+            if local:
+                maps = latents.build_train_maps(
+                    mk, num_images, G.map_dim, G.n_layers_G, G.base_res, gh, gw
+                )
+            else:
+                keys = jax.random.split(mk, G.n_layers_G)
+                maps = [
+                    jax.random.normal(
+                        keys[i],
+                        (num_images, (2**i) * G.base_res, (2**i) * G.base_res, G.map_dim),
+                    )
+                    for i in range(G.n_layers_G)
+                ]
+        return z, maps
+
+    def g_forward(params_G, aux_G, z, maps):
+        variables = {"params": params_G, **aux_G}
+        (fake, _), new_aux = G.apply(
+            variables, z, maps, train=True, update_sn=True, mutable=list(aux_G.keys())
+        )
+        return fake, dict(new_aux)
+
+    def d_apply(params_D, aux_D, x):
+        variables = {"params": params_D, **aux_D}
+        out = D.apply(
+            variables, x, train=True, update_sn=True, mutable=list(aux_D.keys())
+        )
+        if isinstance(out, tuple):
+            logit, new_aux = out
+            return logit, dict(new_aux)
+        return out, aux_D
+
+    @jax.jit
+    def train_step(state: TrainState, real_x: jnp.ndarray, key: jax.Array):
+        params_D, aux_D, opt_D = state.params_D, state.aux_D, state.opt_D
+        aux_G = state.aux_G
+        d_loss_real_acc = 0.0
+        d_loss_fake_acc = 0.0
+        z_last = maps_last = None
+        aux_G_pre_last = None
+
+        keys = jax.random.split(key, disc_iters)
+        for it in range(disc_iters):
+            z, maps = sample_z_maps(keys[it])
+            aux_G_pre = aux_G
+            fake, aux_G = g_forward(state.params_G, aux_G, z, maps)
+            fake = jax.lax.stop_gradient(fake)
+
+            def d_loss_fn(p, aux):
+                rl, aux1 = d_apply(p, aux, real_x)
+                fl, aux2 = d_apply(p, aux1, fake)
+                lr_ = L.d_loss_real(loss_type, rl, label_t)
+                lf_ = L.d_loss_fake(loss_type, fl, 0.0)
+                return lr_ + lf_, (aux2, lr_, lf_)
+
+            grads, (aux_D, lr_, lf_) = jax.grad(d_loss_fn, has_aux=True)(
+                params_D, aux_D
+            )
+            updates, opt_D = tx_D.update(grads, opt_D, params_D)
+            params_D = optax.apply_updates(params_D, updates)
+            d_loss_real_acc += lr_
+            d_loss_fake_acc += lf_
+            z_last, maps_last, aux_G_pre_last = z, maps, aux_G_pre
+
+        # --- G update: same z / pre-forward aux as the last D iteration ----
+        def g_loss_fn(params_G):
+            variables = {"params": params_G, **aux_G_pre_last}
+            (fake2, _), _ = G.apply(
+                variables,
+                z_last,
+                maps_last,
+                train=True,
+                update_sn=False,
+                mutable=list(aux_G_pre_last.keys()),
+            )
+            logit, new_aux_D = d_apply(params_D, aux_D, fake2)
+            return L.g_loss(loss_type, logit, label_t), new_aux_D
+
+        (gl_, aux_D_after), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params_G
+        )
+        updates_G, opt_G = tx_G.update(g_grads, state.opt_G, state.params_G)
+        params_G = optax.apply_updates(state.params_G, updates_G)
+
+        # --- EMA (reference train.py:176-180): blend params + BN stats -----
+        ema = state.ema
+        if use_ema:
+            new_snapshot = {
+                "params": params_G,
+                "batch_stats": aux_G.get("batch_stats", {}),
+            }
+            ema = jax.tree_util.tree_map(
+                lambda e, n: e * ema_decay + n * (1.0 - ema_decay), ema, new_snapshot
+            )
+
+        metrics = {
+            "d_loss_real": d_loss_real_acc,
+            "d_loss_fake": d_loss_fake_acc,
+            "g_loss": gl_,
+        }
+        new_state = TrainState(
+            params_G=params_G,
+            aux_G=aux_G,
+            params_D=params_D,
+            aux_D=aux_D_after,
+            opt_G=opt_G,
+            opt_D=opt_D,
+            ema=ema,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    return train_step

@@ -1,0 +1,37 @@
+"""Quality / performance metrics."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def seam_mse(img: np.ndarray, patch_res: int, width: int = 2) -> float:
+    """Mean squared discontinuity across patch boundaries.
+
+    For every interior patch boundary, compares the ``width``-pixel band on
+    either side: a seam-free image has the same statistics across boundaries
+    as anywhere else. Returns mean over all vertical+horizontal boundaries of
+    ``mean((left_edge - right_edge)^2)`` for directly adjacent pixel lines.
+
+    img: (N, H, W, C) in [-1, 1].
+    """
+    n, h, w, c = img.shape
+    diffs = []
+    for x in range(patch_res, w, patch_res):
+        a = img[:, :, x - 1, :]
+        b = img[:, :, x, :]
+        diffs.append(np.mean((a - b) ** 2))
+    for y in range(patch_res, h, patch_res):
+        a = img[:, y - 1, :, :]
+        b = img[:, y, :, :]
+        diffs.append(np.mean((a - b) ** 2))
+    return float(np.mean(diffs)) if diffs else 0.0
+
+
+def adjacent_mse_baseline(img: np.ndarray) -> float:
+    """MSE between all adjacent pixel lines — the natural image-gradient
+    level against which seam_mse should be compared (seams show up as
+    seam_mse >> adjacent_mse_baseline)."""
+    dx = np.mean((img[:, :, 1:, :] - img[:, :, :-1, :]) ** 2)
+    dy = np.mean((img[:, 1:, :, :] - img[:, :-1, :, :]) ** 2)
+    return float((dx + dy) / 2)

@@ -1,0 +1,116 @@
+"""Halo-cache state machine tests: stateful patch-by-patch generation must
+equal one single pass of the generator over the whole canvas (the identity
+local padding exists to achieve; SURVEY.md §4.2/4.5). Covers 1x1, 1xN, Nx1,
+NxM step grids (all nine reference image_location classes), both norms and
+both outer padding modes."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.sampling import latents
+from infinite_texture_gans_tpu.sampling.infinite import (
+    canvas_geometry,
+    generate_canvas,
+    generate_one_pass,
+)
+
+
+def make_gen(**kw):
+    cfg = dict(
+        z_dim=16,
+        G_ch=8,
+        base_res=4,
+        n_layers_G=4,
+        attention=True,
+        img_ch=3,
+        type_norm="BN",
+        padding_mode="local",
+        outer_padding="replicate",
+    )
+    cfg.update(kw)
+    return ResidualPatchGenerator(**cfg)
+
+
+def init_gen(gen, key=0):
+    z = jnp.zeros(
+        (1, gen.num_patches_h * gen.base_res + 2, gen.num_patches_w * gen.base_res + 2, gen.z_dim)
+    )
+    maps = None
+    if gen.type_norm == "SSM":
+        maps = latents.build_train_maps(
+            jax.random.key(123), 1, gen.map_dim, gen.n_layers_G, gen.base_res,
+            gen.num_patches_h, gen.num_patches_w,
+        )
+    return jax.jit(lambda z, m: gen.init(jax.random.key(key), z, m, train=True))(z, maps)
+
+
+def check_canvas_equals_one_pass(gen, out_h, out_w, atol=2e-4):
+    variables = init_gen(gen)
+    P = gen.patch_resolution
+    gh, gw = gen.num_patches_h, gen.num_patches_w
+    _, _, tot_h, tot_w = canvas_geometry(out_h, out_w, P, gh, gw)
+
+    key = jax.random.key(7)
+    zk, mk = jax.random.split(key)
+    z_full = latents.build_z_full(zk, 1, gen.z_dim, gen.base_res, tot_h, tot_w)
+    maps_full = None
+    if gen.type_norm == "SSM":
+        maps_full = latents.build_maps_full(
+            mk, 1, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
+        )
+
+    canvas = generate_canvas(
+        gen, variables, key, out_h, out_w, num_images=1,
+        z_full=z_full, maps_full=maps_full,
+    )
+    oracle = generate_one_pass(gen, variables, z_full, maps_full, tot_h, tot_w)
+    oracle = np.asarray(oracle)[:, :out_h, :out_w, :]
+    np.testing.assert_allclose(canvas, oracle, atol=atol, rtol=1e-4)
+
+
+def test_single_step_canvas():
+    gen = make_gen()
+    # 96 = 3x32 -> exactly one 3x3 sub-image (1st_row_last_row_1st_col_last_col)
+    check_canvas_equals_one_pass(gen, 96, 96)
+
+
+def test_one_row_canvas():
+    gen = make_gen()
+    # height one step, width three steps (1st_row_last_row x col classes)
+    check_canvas_equals_one_pass(gen, 96, 96 + 4 * 64)
+
+
+def test_one_col_canvas():
+    gen = make_gen()
+    check_canvas_equals_one_pass(gen, 96 + 4 * 64, 96)
+
+
+def test_grid_canvas():
+    gen = make_gen()
+    # 3x3 steps -> exercises all nine location classes
+    check_canvas_equals_one_pass(gen, 96 + 2 * 64, 96 + 2 * 64)
+
+
+def test_grid_canvas_constant_outer_padding():
+    gen = make_gen(outer_padding="constant")
+    check_canvas_equals_one_pass(gen, 96 + 64, 96 + 64)
+
+
+def test_grid_canvas_ssm():
+    gen = make_gen(type_norm="SSM", map_dim=2)
+    check_canvas_equals_one_pass(gen, 96 + 64, 96 + 64)
+
+
+def test_grid_canvas_no_attention_5_layers():
+    gen = make_gen(attention=False, n_layers_G=5)
+    # patch res 64; 2x2 steps
+    check_canvas_equals_one_pass(gen, 192 + 64, 192 + 64)
+
+
+def test_non_multiple_output_resolution():
+    gen = make_gen()
+    # output not a multiple of the patch size -> final crop path
+    check_canvas_equals_one_pass(gen, 100, 150)

@@ -1,0 +1,191 @@
+"""Training stack tests: losses, one train step, EMA, checkpoint roundtrip,
+data pipeline."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infinite_texture_gans_tpu.config import prepare_parser
+from infinite_texture_gans_tpu.data.datasets import SingleImageDataset
+from infinite_texture_gans_tpu.data.synthetic import write_texture
+from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.train import losses as L
+from infinite_texture_gans_tpu.train.checkpoint import (
+    load_checkpoint,
+    load_generator_from_checkpoint,
+    save_checkpoint,
+)
+from infinite_texture_gans_tpu.train.train_step import (
+    create_train_state,
+    make_train_step,
+)
+
+
+def tiny_args(**overrides):
+    args = prepare_parser().parse_args([])
+    args.G_ch = 8
+    args.D_ch = 8
+    args.z_dim = 16
+    args.n_layers_G = 4
+    args.n_layers_D = 2
+    args.padding_mode = "local"
+    args.attention = True
+    args.batch_size = 4
+    args.num_images = 2
+    args.random_crop = 48
+    args.sampling = 8
+    args.epochs = 1
+    args.ema = True
+    for k, v in overrides.items():
+        setattr(args, k, v)
+    return args
+
+
+def build(args):
+    from infinite_texture_gans_tpu.config import discriminator_kwargs, generator_kwargs
+
+    G = ResidualPatchGenerator(**generator_kwargs(args))
+    D = PatchDiscriminator(**discriminator_kwargs(args))
+    return G, D
+
+
+def test_losses_values():
+    logits = jnp.array([0.0, 2.0, -2.0])
+    # standard BCE with label 1: -log(sigmoid(x))
+    expect = -np.log(1 / (1 + np.exp(-np.asarray(logits))))
+    np.testing.assert_allclose(
+        float(L.g_loss("standard", logits, 1.0)), expect.mean(), rtol=1e-6
+    )
+    # hinge
+    assert float(L.d_loss_real("hinge", logits)) == pytest.approx(
+        np.maximum(0, 1 - np.asarray(logits)).mean()
+    )
+    assert float(L.d_loss_fake("hinge", logits)) == pytest.approx(
+        np.maximum(0, 1 + np.asarray(logits)).mean()
+    )
+    # wgan
+    assert float(L.g_loss("wgan", logits)) == pytest.approx(-float(logits.mean()))
+
+
+@pytest.mark.parametrize("loss_type", ["standard", "hinge"])
+def test_train_step_updates(loss_type):
+    args = tiny_args(loss=loss_type, spec_norm_D=True, smooth=True)
+    G, D = build(args)
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 2)
+    step = make_train_step(
+        G, D, tx_G, tx_D,
+        loss_type=loss_type, smooth=args.smooth, disc_iters=1,
+        num_images=args.num_images, ema_decay=0.5, use_ema=True,
+    )
+    real = jnp.zeros((4, 48, 48, 3))
+    state2, metrics = step(state, real, jax.random.key(1))
+    for v in metrics.values():
+        assert np.isfinite(float(v))
+    # params actually moved
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params_G, state2.params_G
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+    # EMA between old and new
+    leaf_old = state.params_G["final"]["conv"]["kernel"]
+    leaf_new = state2.params_G["final"]["conv"]["kernel"]
+    leaf_ema = state2.ema["params"]["final"]["conv"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(leaf_ema), np.asarray(0.5 * leaf_old + 0.5 * leaf_new), rtol=1e-5, atol=1e-7
+    )
+    # spectral norm state updated (D has SN)
+    u_old = jax.tree_util.tree_leaves(state.aux_D["spectral"])[0]
+    u_new = jax.tree_util.tree_leaves(state2.aux_D["spectral"])[0]
+    assert float(jnp.abs(u_old - u_new).max()) > 0
+    # another step runs from the returned state
+    state3, _ = step(state2, real, jax.random.key(2))
+    assert int(state3.step) == 2
+
+
+def test_train_step_disc_iters():
+    args = tiny_args(disc_iters=2)
+    G, D = build(args)
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 2)
+    step = make_train_step(
+        G, D, tx_G, tx_D, loss_type="standard", disc_iters=2,
+        num_images=args.num_images, use_ema=False,
+    )
+    state2, metrics = step(state, jnp.zeros((4, 48, 48, 3)), jax.random.key(1))
+    assert np.isfinite(float(metrics["d_loss_real"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    args = tiny_args()
+    G, D = build(args)
+    state, _, _ = create_train_state(G, D, args, jax.random.key(0), 2)
+    path = str(tmp_path / "ck.ckpt")
+    from infinite_texture_gans_tpu.config import args_to_dict
+
+    save_checkpoint(
+        path,
+        {
+            "meta": {"args": args_to_dict(args), "epoch": 3, "seed": 7},
+            "netG_variables": {"params": state.params_G, **state.aux_G},
+            "ema": state.ema,
+        },
+    )
+    ckpt = load_checkpoint(path)
+    assert ckpt["meta"]["epoch"] == 3
+    assert ckpt["meta"]["args"]["G_ch"] == 8
+    k0 = state.params_G["start"]["conv"]["kernel"]
+    k1 = ckpt["netG_variables"]["params"]["start"]["conv"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(k0), np.asarray(k1))
+
+    gen, variables, loaded_args = load_generator_from_checkpoint(path)
+    assert gen.G_ch == 8 and gen.SN is False
+    out, _ = jax.jit(lambda v, z: gen.apply(v, z, train=False))(
+        variables, jnp.zeros((1, 14, 14, 16))
+    )
+    assert out.shape == (1, 96, 96, 3)
+
+
+def test_single_image_dataset(tmp_path):
+    path = write_texture(str(tmp_path / "tex.png"), 64, 80)
+    ds = SingleImageDataset(path, ext="png", random_crop=32, sampling=10)
+    assert len(ds) == 10
+    rng = np.random.default_rng(0)
+    b = ds.sample_batch(rng, 5)
+    assert b.shape == (5, 32, 32, 3)
+    assert b.min() >= -1.0 and b.max() <= 1.0
+    assert b.std() > 0.05
+    # crops differ
+    assert np.abs(b[0] - b[1]).max() > 0
+
+
+def test_full_train_loop_smoke(tmp_path):
+    """Two tiny epochs end to end through train(args): losses finite,
+    checkpoints + EMA checkpoint + losses.png written."""
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+    args = tiny_args(
+        data_path=tex,
+        data_ext="png",
+        epochs=2,
+        saving_rate=2,
+        fname=str(tmp_path / "cp"),
+        seed=3,
+        batch_size=2,
+        sampling=4,
+    )
+    train(args)
+    assert os.path.exists(str(tmp_path / "cp" / "2_2.ckpt"))
+    assert os.path.exists(str(tmp_path / "cp" / "2__ema.ckpt"))
+    assert os.path.exists(str(tmp_path / "cp" / "2_losses.png"))
+    gen, variables, _ = load_generator_from_checkpoint(
+        str(tmp_path / "cp" / "2__ema.ckpt")
+    )
+    out, _ = jax.jit(lambda v, z: gen.apply(v, z, train=False))(
+        variables, jnp.zeros((1, 14, 14, 16))
+    )
+    assert np.isfinite(np.asarray(out)).all()
