@@ -31,9 +31,17 @@ def _to_numpy_tree(tree):
 
 def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
     """payload: arbitrary dict of pytrees + JSON-serialisable metadata under
-    the 'meta' key."""
+    the 'meta' key.
+
+    ``to_state_dict`` first: msgpack cannot pack tuples/NamedTuples (optax
+    optimizer states are tuples of NamedTuples); the state-dict form is pure
+    nested dicts. Loaders that need the original structure restore it with
+    ``serialization.from_state_dict`` against a template pytree.
+    """
     meta = payload.pop("meta", {})
-    blob = serialization.msgpack_serialize(_to_numpy_tree(payload))
+    blob = serialization.msgpack_serialize(
+        serialization.to_state_dict(_to_numpy_tree(payload))
+    )
     meta_blob = json.dumps(meta).encode()
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     with open(path, "wb") as f:
