@@ -103,6 +103,19 @@ def main() -> None:
     seam = seam_mse(img, G.patch_resolution)
     natural = adjacent_mse_baseline(img)
 
+    # Engine exactness on hardware: patch-by-patch (stateful halo cache) must
+    # reproduce the one-pass oracle bit-for-bit up to accumulation order.
+    from infinite_texture_gans_tpu.sampling.infinite import generate_one_pass
+    from infinite_texture_gans_tpu.sampling.latents import build_z_full
+
+    z5 = build_z_full(jax.random.key(11), 1, args.z_dim, args.base_res, 5, 5)
+    pbp = generate_canvas(
+        G, gen_vars, jax.random.key(11), 5 * G.patch_resolution,
+        5 * G.patch_resolution, num_images=1, z_full=z5,
+    )
+    onep = np.asarray(generate_one_pass(G, gen_vars, z5, None, 5, 5))
+    engine_max_err = float(np.abs(pbp - onep).max())
+
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
@@ -122,6 +135,7 @@ def main() -> None:
             "gen_1024_wall_s_warm": round(gen_1024_warm_s, 3),
             "seam_mse_1024": seam,
             "adjacent_mse_natural": natural,
+            "engine_vs_onepass_max_err": engine_max_err,
             "setup_compile_s": round(setup_s, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

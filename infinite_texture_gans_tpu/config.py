@@ -117,6 +117,9 @@ def prepare_parser() -> argparse.ArgumentParser:
                         help='conv compute dtype: float32 or bfloat16')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='if set, write a jax profiler trace of a few steps here')
+    parser.add_argument('--resume', type=str, default=None,
+                        help='path to a framework checkpoint to resume training from '
+                             '(params, optimizer states, EMA, epoch, loss history)')
 
     return parser
 

@@ -6,8 +6,11 @@ and utils.py:475-527 (the training-time 3x3-grid forward), re-designed:
 * The halo cache is an explicit pytree threaded through the raster scan —
   no module state, jit-safe (reference: 4 mutable tensors inside every conv,
   models/layers.py:70-143, with per-step .cpu() round-trips).
-* One compiled step function serves every canvas position; the reference's
-  9-way ``image_location`` string dispatch becomes traced boolean flags.
+* A whole canvas **row** of sub-images is ONE compiled ``lax.scan`` over
+  columns (the halo cache is the scan carry); the host sees one dispatch and
+  one D2H copy per row instead of one per sub-image. The reference's 9-way
+  ``image_location`` string dispatch becomes traced boolean flags, so every
+  canvas position runs the same program.
 * Canvas assembly is write-full/last-writer-wins into a host buffer, which
   reproduces the reference's "crop off re-generated right column / bottom
   row" protocol (utils.py:364-377) with no branching.
@@ -28,6 +31,7 @@ from typing import Dict, List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.ops.padding import (
@@ -49,6 +53,48 @@ def canvas_geometry(out_h: int, out_w: int, patch_res: int, gh: int, gw: int):
     return steps_h, steps_w, total_h, total_w
 
 
+@functools.partial(jax.jit, static_argnames=("gen", "steps_w"))
+def _row_scan(gen, variables, z_strip, maps_strips, halo, first_row, steps_w):
+    """One canvas row = lax.scan over its columns; the halo cache is the
+    carry. z/map strips are full-row-width; each column's overlapping window
+    is a dynamic_slice inside the scan (no host-side duplication). Ends with
+    finalize+rotate so the returned cache is ready for the next row.
+
+    Module-level with the (hashable) flax module as a static arg, so the
+    compiled executable is cached across ``generate_canvas`` calls — a jit
+    closure created per call would recompile every time.
+    """
+    gh, gw, base = gen.num_patches_h, gen.num_patches_w, gen.base_res
+
+    def body(halo, col):
+        z_sub = lax.dynamic_slice_in_dim(
+            z_strip, col * (gw - 1) * base, gw * base + latents.Z_PAD, axis=2
+        )
+        maps_sub = None
+        if maps_strips is not None:
+            maps_sub = [
+                lax.dynamic_slice_in_dim(
+                    m,
+                    col * (gw - 1) * (2**i) * base,
+                    gw * (2**i) * base + latents.MAP_PAD,
+                    axis=2,
+                )
+                for i, m in enumerate(maps_strips)
+            ]
+        pos = GridPos(col=col, first_row=first_row, first_col=col == 0)
+        out, halo = gen.apply(
+            variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
+        )
+        return halo, out
+
+    halo, subs = lax.scan(body, halo, jnp.arange(steps_w, dtype=jnp.int32))
+    halo = {
+        name: rotate_rows(finalize_row(site, gen.outer_padding))
+        for name, site in halo.items()
+    }
+    return subs, halo
+
+
 def generate_canvas(
     gen: ResidualPatchGenerator,
     variables,
@@ -68,6 +114,7 @@ def generate_canvas(
     """
     P = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
+    base = gen.base_res
     steps_h, steps_w, tot_h, tot_w = canvas_geometry(
         output_resolution_height, output_resolution_width, P, gh, gw
     )
@@ -82,51 +129,42 @@ def generate_canvas(
 
     halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w)
 
-    @jax.jit
-    def step(variables, z_sub, maps_sub, halo, col, first_row, first_col):
-        pos = GridPos(col=col, first_row=first_row, first_col=first_col)
-        out, halo_out = gen.apply(
-            variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
-        )
-        return out, halo_out
-
     canvas = np.zeros(
         (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32
     )
-    outer = gen.outer_padding
     for r in range(steps_h):
+        r0 = r * (gh - 1) * base
+        z_strip = z_full[:, r0 : r0 + gh * base + latents.Z_PAD, :, :]
+        maps_strips = None
+        if maps_full is not None:
+            maps_strips = [
+                m[
+                    :,
+                    r * (gh - 1) * (2**i) * base : r * (gh - 1) * (2**i) * base
+                    + gh * (2**i) * base
+                    + latents.MAP_PAD,
+                    :,
+                    :,
+                ]
+                for i, m in enumerate(maps_full)
+            ]
+        subs, halo = _row_scan(
+            gen, variables, z_strip, maps_strips, halo, jnp.bool_(r == 0), steps_w
+        )
+        # One D2H copy per row; write each sub-image into the canvas — later
+        # writes overwrite the re-generated right patch-column / bottom
+        # patch-row (last-writer-wins == reference crop protocol,
+        # utils.py:364-377).
+        subs_np = np.asarray(subs)  # (steps_w, N, gh*P, gw*P, C)
         for c in range(steps_w):
-            z_sub = latents.slice_sub_z(z_full, r, c, gen.base_res, gh, gw)
-            maps_sub = (
-                latents.slice_sub_maps(maps_full, r, c, gen.base_res, gh, gw)
-                if maps_full is not None
-                else None
-            )
-            out, halo = step(
-                variables,
-                z_sub,
-                maps_sub,
-                halo,
-                jnp.int32(c),
-                jnp.bool_(r == 0),
-                jnp.bool_(c == 0),
-            )
-            # Write the full sub-image; later steps overwrite the
-            # re-generated right patch-column / bottom patch-row.
-            sub = np.asarray(out)
             canvas[
                 :,
                 r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
                 c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
                 :,
-            ] = sub
-            if progress:
-                print(f"  sub-image ({r + 1}/{steps_h}, {c + 1}/{steps_w})", flush=True)
-        # Row completed: fill border cells of the accumulated row buffers and
-        # hand them to the next row (host-side pytree shuffle).
-        halo = {
-            name: rotate_rows(finalize_row(site, outer)) for name, site in halo.items()
-        }
+            ] = subs_np[c]
+        if progress:
+            print(f"  row {r + 1}/{steps_h} ({steps_w} sub-images)", flush=True)
     return canvas[:, :output_resolution_height, :output_resolution_width, :]
 
 
@@ -148,13 +186,13 @@ def generate_one_pass(
     big = gen.clone(
         num_patches_h=total_patches_h, num_patches_w=total_patches_w
     )
+    return _one_pass_fwd(big, variables, z_full, maps_full)
 
-    @jax.jit
-    def fwd(variables, z, maps):
-        out, _ = big.apply(variables, z, maps, train=False)
-        return out
 
-    return fwd(variables, z_full, maps_full)
+@functools.partial(jax.jit, static_argnames=("gen",))
+def _one_pass_fwd(gen, variables, z, maps):
+    out, _ = gen.apply(variables, z, maps, train=False)
+    return out
 
 
 def sample_from_gen_patch_by_patch_train(

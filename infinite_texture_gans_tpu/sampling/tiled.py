@@ -7,6 +7,7 @@ demonstrates the seams local padding eliminates).
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional
 
@@ -42,13 +43,13 @@ def sample_from_gen(
     if tiles:
         scale = 2 ** (gen.n_layers_G - 1)
         return tile_process(gen, variables, z, scale=scale, tile_size=32, tile_pad=16)
+    return _fwd(gen, variables, z, maps)
 
-    @jax.jit
-    def fwd(variables, z, maps):
-        out, _ = gen.apply(variables, z, maps, train=False)
-        return out
 
-    return fwd(variables, z, maps)
+@functools.partial(jax.jit, static_argnames=("gen",))
+def _fwd(gen, variables, z, maps=None):
+    out, _ = gen.apply(variables, z, maps, train=False)
+    return out
 
 
 def tile_process(
@@ -69,10 +70,8 @@ def tile_process(
     tiles_x = math.ceil(width / tile_size)
     tiles_y = math.ceil(height / tile_size)
 
-    @jax.jit
     def fwd(variables, z_tile):
-        out, _ = gen.apply(variables, z_tile, None, train=False)
-        return out
+        return _fwd(gen, variables, z_tile)
 
     for y in range(tiles_y):
         for x in range(tiles_x):

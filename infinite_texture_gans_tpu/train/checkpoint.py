@@ -84,6 +84,38 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
+def restore_train_state(state, ckpt: Dict[str, Any]):
+    """Restore a full TrainState from a framework checkpoint (true resume —
+    a capability the reference lacks, SURVEY.md §5). ``state`` is a freshly
+    initialised TrainState used as the structure template; stored state-dict
+    trees are mapped back onto it (tuple-structured optax states included)."""
+    from infinite_texture_gans_tpu.train.train_step import TrainState
+
+    g_vars = dict(ckpt["netG_variables"])
+    d_vars = dict(ckpt["netD_variables"])
+    params_G = serialization.from_state_dict(state.params_G, g_vars.pop("params"))
+    params_D = serialization.from_state_dict(state.params_D, d_vars.pop("params"))
+    aux_G = serialization.from_state_dict(state.aux_G, g_vars)
+    aux_D = serialization.from_state_dict(state.aux_D, d_vars)
+    opt_G = serialization.from_state_dict(state.opt_G, ckpt["opt_G"])
+    opt_D = serialization.from_state_dict(state.opt_D, ckpt["opt_D"])
+    ema = state.ema
+    if state.ema is not None and ckpt.get("ema"):
+        ema = serialization.from_state_dict(state.ema, ckpt["ema"])
+    epoch = int(ckpt["meta"].get("epoch", 0))
+    steps_done = state.step  # caller sets true step count if it matters
+    return TrainState(
+        params_G=params_G,
+        aux_G=aux_G,
+        params_D=params_D,
+        aux_D=aux_D,
+        opt_G=opt_G,
+        opt_D=opt_D,
+        ema=ema,
+        step=steps_done,
+    ), epoch
+
+
 def load_generator_from_checkpoint(path: str, ema: Optional[bool] = None):
     """Rebuild a generator (module + variables) from any checkpoint,
     reproducing the reference's config-from-checkpoint flow

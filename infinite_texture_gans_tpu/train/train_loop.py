@@ -27,7 +27,11 @@ from infinite_texture_gans_tpu.data.datasets import Prefetcher, prepare_data
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
-from infinite_texture_gans_tpu.train.checkpoint import save_checkpoint
+from infinite_texture_gans_tpu.train.checkpoint import (
+    load_checkpoint,
+    restore_train_state,
+    save_checkpoint,
+)
 from infinite_texture_gans_tpu.train.train_step import (
     create_train_state,
     make_train_step,
@@ -111,10 +115,19 @@ def train(args) -> None:
     filename = prepare_filename(args)
     start_time = time.time()
     G_losses, D_losses = [], []
+    start_epoch = 0
+    if getattr(args, "resume", None):
+        ckpt = load_checkpoint(args.resume)
+        state, start_epoch = restore_train_state(state, ckpt)
+        G_losses = list(ckpt["meta"].get("Gloss", []))
+        D_losses = list(ckpt["meta"].get("Dloss", []))
+        if mesh is not None:
+            state = replicate(state, mesh)
+        print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
     profiled = False
     print("Starting Training Loop...")
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         key, data_key, epoch_key = jax.random.split(key, 3)
         prefetcher = Prefetcher(
             dataset,
@@ -123,29 +136,30 @@ def train(args) -> None:
             seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
             device_put=(lambda x: shard_batch(x, mesh)),
         )
-        d_run = 0.0
-        g_run = 0.0
-        ex_d = 0
-        ex_g = 0
+        # Metrics stay on device during the epoch (a float() per step would
+        # force a host sync and serialize dispatch); one block at epoch end.
+        epoch_metrics = []
+        batch_sizes = []
         step_keys = jax.random.split(epoch_key, steps_per_epoch)
         if args.profile_dir and not profiled and epoch == 0:
             jax.profiler.start_trace(args.profile_dir)
         for i, real_x in enumerate(prefetcher):
             state, metrics = train_step(state, real_x, step_keys[i])
-            b_size = real_x.shape[0]
-            d_run += float(metrics["d_loss_fake"]) * args.num_images + float(
-                metrics["d_loss_real"]
-            ) * b_size
-            g_run += float(metrics["g_loss"]) * args.num_images
-            ex_d += b_size
-            ex_g += args.num_images
+            epoch_metrics.append(metrics)
+            batch_sizes.append(real_x.shape[0])
             if args.profile_dir and not profiled and epoch == 0 and i == 4:
                 jax.block_until_ready(state.params_G)
                 jax.profiler.stop_trace()
                 profiled = True
 
-        d_run /= max(1, ex_d)
-        g_run /= max(1, ex_g)
+        d_run = g_run = 0.0
+        for m, b_size in zip(jax.device_get(epoch_metrics), batch_sizes):
+            d_run += float(m["d_loss_fake"]) * args.num_images + float(
+                m["d_loss_real"]
+            ) * b_size
+            g_run += float(m["g_loss"]) * args.num_images
+        d_run /= max(1, sum(batch_sizes))
+        g_run /= max(1, args.num_images * len(batch_sizes))
         elapsed_min = (time.time() - start_time) / 60
         steps_sec = (epoch + 1) * steps_per_epoch / (time.time() - start_time)
         print(

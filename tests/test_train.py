@@ -162,6 +162,50 @@ def test_single_image_dataset(tmp_path):
     assert np.abs(b[0] - b[1]).max() > 0
 
 
+def test_resume_roundtrip(tmp_path):
+    """Full TrainState (params, tuple-structured optax states, EMA) survives
+    a save->restore cycle and training continues from it."""
+    from infinite_texture_gans_tpu.config import args_to_dict
+    from infinite_texture_gans_tpu.train.checkpoint import restore_train_state
+
+    args = tiny_args()
+    G, D = build(args)
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 2)
+    step = make_train_step(
+        G, D, tx_G, tx_D, loss_type="standard", disc_iters=1,
+        num_images=args.num_images, use_ema=True,
+    )
+    state, _ = step(state, jnp.zeros((4, 48, 48, 3)), jax.random.key(1))
+
+    path = str(tmp_path / "resume.ckpt")
+    save_checkpoint(
+        path,
+        {
+            "meta": {"args": args_to_dict(args), "epoch": 1},
+            "netG_variables": {"params": state.params_G, **state.aux_G},
+            "netD_variables": {"params": state.params_D, **state.aux_D},
+            "opt_G": state.opt_G,
+            "opt_D": state.opt_D,
+            "ema": state.ema,
+        },
+    )
+    fresh, _, _ = create_train_state(G, D, args, jax.random.key(9), 2)
+    restored, epoch = restore_train_state(fresh, load_checkpoint(path))
+    assert epoch == 1
+    # restored optimizer state matches the saved one exactly (incl. adam mu)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state.opt_G), jax.tree_util.tree_leaves(restored.opt_G)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(state.ema["params"]["final"]["conv"]["kernel"]),
+        np.asarray(restored.ema["params"]["final"]["conv"]["kernel"]),
+    )
+    # training continues from the restored state
+    cont, metrics = step(restored, jnp.zeros((4, 48, 48, 3)), jax.random.key(2))
+    assert np.isfinite(float(metrics["g_loss"]))
+
+
 def test_full_train_loop_smoke(tmp_path):
     """Two tiny epochs end to end through train(args): losses finite,
     checkpoints + EMA checkpoint + losses.png written."""
