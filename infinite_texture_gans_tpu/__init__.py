@@ -20,6 +20,31 @@ TPU-first:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_persistent_compilation_cache() -> None:
+    """XLA compiles of the full train step take minutes on TPU; cache the
+    compiled executables on disk so every CLI/bench process after the first
+    starts warm. Opt out with ITG_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("ITG_TPU_NO_COMPILE_CACHE"):
+        return
+    import jax
+
+    cache_dir = _os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "itg_tpu_xla"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax without these flags
+
+
+_enable_persistent_compilation_cache()
+
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.models.discriminator import (
     PatchDiscriminator,
