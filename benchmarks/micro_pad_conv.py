@@ -12,8 +12,12 @@ has headroom; otherwise XLA already fuses the pad and Pallas effort should go
 elsewhere. Also times the same shapes in bfloat16.
 """
 
-import time
 import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -75,6 +75,17 @@ def crop_images(
     return out.reshape(n * rows * cols, cropping_size_h, cropping_size_w, c)
 
 
+def crop_image(
+    img: jnp.ndarray,
+    cropping_size_h: int,
+    cropping_size_w: int,
+    stride: int,
+) -> jnp.ndarray:
+    """Single-image variant of :func:`crop_images` (reference utils.py:715-742):
+    (H, W, C) -> (P, ch, cw, C)."""
+    return crop_images(img[None], cropping_size_h, cropping_size_w, stride)
+
+
 def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest-neighbour upsample of merged NHWC activations.
 

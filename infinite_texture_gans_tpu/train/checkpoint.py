@@ -116,6 +116,12 @@ def restore_train_state(state, ckpt: Dict[str, Any]):
     ), epoch
 
 
+def load_netG(path: str, ema: Optional[bool] = None):
+    """API-parity alias of :func:`load_generator_from_checkpoint`
+    (reference utils.py:616-634 load_netG)."""
+    return load_generator_from_checkpoint(path, ema)
+
+
 def load_generator_from_checkpoint(path: str, ema: Optional[bool] = None):
     """Rebuild a generator (module + variables) from any checkpoint,
     reproducing the reference's config-from-checkpoint flow

@@ -38,6 +38,18 @@ from infinite_texture_gans_tpu.train.train_step import (
 )
 
 
+def prepare_device(args):
+    """Device selection (reference utils.py:134-145). On TPU the analog of
+    the reference's CUDA_VISIBLE_DEVICES / cuda:<n> logic is the mesh
+    (``make_mesh``); this returns the default device for single-device runs
+    and exists for API parity."""
+    import jax
+
+    devices = jax.devices()
+    idx = min(getattr(args, "dev_num", 0) or 0, len(devices) - 1)
+    return devices[idx]
+
+
 def prepare_seed(args) -> int:
     """Random seed unless fixed (reference utils.py:147-156)."""
     seed = args.seed if args.seed is not None else random.randint(1, 10000)

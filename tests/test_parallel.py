@@ -1,0 +1,87 @@
+"""Multi-device tests on the simulated 8-device CPU mesh (SURVEY.md §4.4):
+data-parallel train step, image-sharded canvas generation, and spatially
+(width-) sharded one-pass generation must all agree with single-device runs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from infinite_texture_gans_tpu.parallel.sharded import (
+    generate_one_pass_sharded,
+    shard_images,
+)
+from infinite_texture_gans_tpu.sampling.infinite import (
+    generate_canvas,
+    generate_one_pass,
+)
+from infinite_texture_gans_tpu.sampling.latents import build_z_full
+
+
+def tiny_gen(**kw):
+    cfg = dict(
+        z_dim=8, G_ch=8, base_res=4, n_layers_G=4, attention=False, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding="replicate",
+    )
+    cfg.update(kw)
+    return ResidualPatchGenerator(**cfg)
+
+
+@pytest.fixture(scope="module")
+def gen_and_vars():
+    gen = tiny_gen()
+    z = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z)
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    return gen, variables
+
+
+def test_mesh_factory():
+    mesh = make_mesh("data:8")
+    assert mesh is not None and mesh.devices.shape == (8,)
+    assert make_mesh(None, 1) is None
+
+
+def test_one_pass_width_sharded_matches_single(gen_and_vars):
+    """Width-sharded one-pass: XLA SPMD inserts the conv halo exchanges; the
+    result must equal the unsharded run."""
+    gen, variables = gen_and_vars
+    mesh = make_mesh("data:8")
+    # 16-patch-wide canvas: W axis = 16*4+2 = 66 px at base res
+    z = build_z_full(jax.random.key(1), 1, 8, 4, 3, 16)
+    ref = np.asarray(generate_one_pass(gen, variables, z, None, 3, 16))
+    out = np.asarray(
+        generate_one_pass_sharded(gen, variables, z, None, 3, 16, mesh=mesh)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_canvas_image_sharded_matches_single(gen_and_vars):
+    """Image-batch-sharded raster generation equals per-image generation."""
+    gen, variables = gen_and_vars
+    mesh = make_mesh("data:8")
+    z = build_z_full(jax.random.key(2), 8, 8, 4, 5, 5)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), 5 * 32, 5 * 32, num_images=8, z_full=z
+    )
+    z_sharded = shard_images(z, mesh)
+    variables_repl = replicate(variables, mesh)
+    out = generate_canvas(
+        gen, variables_repl, jax.random.key(0), 5 * 32, 5 * 32,
+        num_images=8, z_full=z_sharded,
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def test_shard_batch_layout():
+    mesh = make_mesh("data:8")
+    x = np.zeros((16, 4, 4, 3), np.float32)
+    y = shard_batch(x, mesh)
+    assert y.sharding.spec == P("data")
+    assert len(y.sharding.device_set) == 8
