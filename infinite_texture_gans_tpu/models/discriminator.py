@@ -62,7 +62,7 @@ class PatchDiscriminator(nn.Module):
             if self.norm_layer == "batch":
                 h = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                    name=f"norm{n}",
+                    dtype=self.dtype, name=f"norm{n}",
                 )(h)
             elif self.norm_layer == "instance":
                 h = InstanceNorm(name=f"norm{n}")(h)
@@ -161,7 +161,7 @@ class DCDiscriminator(nn.Module):
         for n in range(self.n_layers):
             ch = ch * 2
             h = conv4x4(ch, use_bias=False, dtype=self.dtype, name=f"conv{n + 1}")(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name=f"bn{n + 1}")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"bn{n + 1}")(h)
             h = lrelu(h)
         h = Conv(self.img_ch, 4, 1, 0, False, dtype=self.dtype, name="final")(h)
         return h.reshape(-1)

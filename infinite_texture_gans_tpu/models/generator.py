@@ -172,7 +172,8 @@ class ResidualPatchGenerator(nn.Module):
 
         if self.type_norm == "BN":
             h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=self.dtype, name="bn"
             )(h)
         h = act(h)
         h, hf = ConvLP(

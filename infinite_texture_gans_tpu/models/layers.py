@@ -131,6 +131,7 @@ class StochasticSpatialModulation(nn.Module):
             use_bias=False,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
             name="bn",
         )(x)
         p = 1 if self.padding_mode == "zeros" else 0
@@ -247,7 +248,8 @@ class ResBlockGenerator(nn.Module):
         else:
             out = act(
                 nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn1"
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="bn1"
                 )(x)
             )
         out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
@@ -263,7 +265,8 @@ class ResBlockGenerator(nn.Module):
         else:
             out = act(
                 nn.BatchNorm(
-                    use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn2"
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype, name="bn2"
                 )(out)
             )
         out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
@@ -300,11 +303,11 @@ class ResBlockDiscriminator(nn.Module):
 
         h = x
         if self.bn:
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn1")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn1")(h)
         h = act(h)
         h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv1")(h, update_sn=update_sn)
         if self.bn:
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, name="bn2")(h)
+            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name="bn2")(h)
         h = act(h)
         h = conv3x3(self.features, self.sn, dtype=self.dtype, name="conv2")(h, update_sn=update_sn)
         if self.downsample:

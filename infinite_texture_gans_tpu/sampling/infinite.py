@@ -127,7 +127,7 @@ def generate_canvas(
             mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
         )
 
-    halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w)
+    halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype)
 
     canvas = np.zeros(
         (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32

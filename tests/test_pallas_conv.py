@@ -1,0 +1,71 @@
+"""Pallas fused prenorm+pad+conv3x3 kernel vs the pure-XLA oracle.
+
+Runs in interpreter mode on the CPU test mesh; the same code path compiles
+via Mosaic on TPU. Covers both outer padding modes, relu on/off, grid
+row-block cases (single block, first/last, interior), and the full custom
+VJP (dx incl. the replicate edge folds, dW, db, dscale, dshift).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infinite_texture_gans_tpu.ops.pallas_conv import (
+    conv3x3_chw,
+    conv3x3_chw_reference,
+)
+
+
+def make_inputs(key, n, c, co, h, w):
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    x = jax.random.normal(k1, (n, c, h, w), jnp.float32)
+    wk = jax.random.normal(k2, (3, 3, c, co), jnp.float32) * 0.3
+    b = jax.random.normal(k3, (co,), jnp.float32)
+    scale = 1.0 + 0.2 * jax.random.normal(k4, (c,), jnp.float32)
+    shift = 0.2 * jax.random.normal(k5, (c,), jnp.float32)
+    return x, wk, b, scale, shift
+
+
+@pytest.mark.parametrize("outer", ["replicate", "constant"])
+@pytest.mark.parametrize("relu", [True, False])
+@pytest.mark.parametrize("h", [16, 32, 48])
+def test_forward_matches_oracle(outer, relu, h):
+    x, wk, b, scale, shift = make_inputs(jax.random.key(0), 2, 5, 3, h, 128)
+    y = conv3x3_chw(x, wk, b, scale, shift, relu, outer)
+    ref = conv3x3_chw_reference(x, wk, b, scale, shift, relu, outer)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("outer", ["replicate", "constant"])
+def test_vjp_matches_oracle(outer):
+    x, wk, b, scale, shift = make_inputs(jax.random.key(1), 2, 4, 3, 32, 128)
+
+    def loss_pallas(x, wk, b, scale, shift):
+        y = conv3x3_chw(x, wk, b, scale, shift, True, outer)
+        return jnp.sum(y * jnp.cos(y * 0.1))
+
+    def loss_ref(x, wk, b, scale, shift):
+        y = conv3x3_chw_reference(x, wk, b, scale, shift, True, outer)
+        return jnp.sum(y * jnp.cos(y * 0.1))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3, 4))(x, wk, b, scale, shift)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, wk, b, scale, shift)
+    names = ["dx", "dw", "db", "dscale", "dshift"]
+    for name, a, r in zip(names, gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+def test_bf16_forward_close():
+    x, wk, b, scale, shift = make_inputs(jax.random.key(2), 1, 5, 3, 16, 128)
+    y = conv3x3_chw(
+        x.astype(jnp.bfloat16), wk, b, scale, shift, True, "replicate"
+    )
+    ref = conv3x3_chw_reference(x, wk, b, scale, shift, True, "replicate")
+    assert y.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(y, np.float32), np.asarray(ref), atol=0.15, rtol=0.05
+    )
