@@ -113,7 +113,13 @@ def main() -> None:
         G, gen_vars, jax.random.key(11), 5 * G.patch_resolution,
         5 * G.patch_resolution, num_images=1, z_full=z5,
     )
-    onep = np.asarray(generate_one_pass(G, gen_vars, z5, None, 5, 5))
+    # like-for-like: the halo engine runs the NHWC path, so the one-pass
+    # oracle must too (the CHW/Pallas kernel equivalence is covered by its
+    # own tests; an untrained net's unnormalized activations amplify any
+    # cross-path float-flavor difference to ~1e-2 and would pollute this
+    # engine-correctness metric).
+    G_nhwc = G.clone(chw_tail="off")
+    onep = np.asarray(generate_one_pass(G_nhwc, gen_vars, z5, None, 5, 5))
     engine_max_err = float(np.abs(pbp - onep).max())
 
     baseline = None

@@ -115,6 +115,9 @@ def prepare_parser() -> argparse.ArgumentParser:
                         help="device mesh spec, e.g. 'data:8' (overrides --num_gpus)")
     parser.add_argument('--compute_dtype', type=str, default='float32',
                         help='conv compute dtype: float32 or bfloat16')
+    parser.add_argument('--chw_tail', type=str, default='auto',
+                        help="channels-major Pallas path for small-channel generator "
+                             "layers: auto (TPU only, where shapes allow), on, off")
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='if set, write a jax profiler trace of a few steps here')
     parser.add_argument('--resume', type=str, default=None,
@@ -175,6 +178,7 @@ def generator_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
         padding_size=args.padding_size,
         conv_reduction=args.conv_reduction,
         dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else jnp.float32,
+        chw_tail=getattr(args, 'chw_tail', 'auto'),
     )
 
 

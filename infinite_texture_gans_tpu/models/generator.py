@@ -19,7 +19,16 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def _upsample_nearest_chw(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    """Nearest-neighbour upsample on channels-major (N, C, H, W) arrays."""
+    n, c, h, w = x.shape
+    x = x.reshape(n, c, h, 1, w, 1)
+    x = jnp.broadcast_to(x, (n, c, h, factor, w, factor))
+    return x.reshape(n, c, h * factor, w * factor)
 
 from infinite_texture_gans_tpu.models.layers import (
     ConvLP,
@@ -98,6 +107,10 @@ class ResidualPatchGenerator(nn.Module):
     padding_size: int = 1
     conv_reduction: int = 2
     dtype: Any = jnp.float32
+    # 'auto' (channels-major Pallas tail on TPU where it applies) | 'on' |
+    # 'off'. See ops/pallas_conv.py for why small-channel layers are run
+    # channels-major.
+    chw_tail: str = "auto"
 
     @nn.compact
     def __call__(
@@ -136,9 +149,39 @@ class ResidualPatchGenerator(nn.Module):
         plan = generator_channel_plan(self.G_ch, self.n_layers_G)
         from infinite_texture_gans_tpu.ops.grid import upsample_nearest
 
+        # Channels-major (Pallas) tail: once a local-padded BN/ReLU block's
+        # channel count is small and its merged width is lane-aligned, run
+        # the rest of the stack on (N, C, H, W) arrays — NHWC would store
+        # them ~10x padded in HBM (ops/pallas_conv.py). Monotone: channels
+        # only shrink and widths only grow down the stack.
+        chw_capable = (
+            halo is None
+            and local
+            and self.type_norm == "BN"
+            and not self.SN
+            and self.leak == 0
+            and self.chw_tail != "off"
+        )
+
+        def chw_gate(i: int, cin: int) -> bool:
+            # i > 3: per-patch attention (after block3) needs NHWC
+            if not chw_capable or i <= 3:
+                return False
+            w_here = gw * self.base_res * (2 ** (i - 1))
+            # Mosaic only lowers the in-kernel (C,BH,W)->(C,BH*W) collapse
+            # when W is lane-aligned; 'on' still respects that on TPU.
+            w_ok = w_here % 128 == 0 or jax.default_backend() != "tpu"
+            if self.chw_tail == "on":
+                return cin <= 64 and w_ok
+            return cin <= 64 and w_ok and jax.default_backend() == "tpu"
+
+        is_chw = False
         for i, (cin, cout) in enumerate(plan, start=1):
+            if not is_chw and chw_gate(i, cin):
+                h = jnp.transpose(h, (0, 3, 1, 2))
+                is_chw = True
             if i > 1:
-                h = upsample_nearest(h, 2)
+                h = _upsample_nearest_chw(h, 2) if is_chw else upsample_nearest(h, 2)
             bname = f"block{i}"
             h1 = site(f"{bname}.conv1")
             h2 = site(f"{bname}.conv2")
@@ -154,7 +197,10 @@ class ResidualPatchGenerator(nn.Module):
                 gw=gw,
                 dtype=self.dtype,
                 name=bname,
-            )(h, maps[i - 1], h1, h2, pos, train=train, update_sn=update_sn)
+            )(
+                h, maps[i - 1], h1, h2, pos,
+                train=train, update_sn=update_sn, chw=is_chw,
+            )
             if halo is not None:
                 halo_out[f"{bname}.conv1"] = h1
                 halo_out[f"{bname}.conv2"] = h2
@@ -169,6 +215,23 @@ class ResidualPatchGenerator(nn.Module):
                     h = PatchAttention(1, 1, self.SN, self.dtype, name="attention")(
                         h, update_sn=update_sn
                     )
+
+        if is_chw:
+            from infinite_texture_gans_tpu.models.layers import BNFold
+
+            scf, shf = BNFold(name="bn")(h, train=train)
+            h, _ = ConvLP(
+                self.img_ch,
+                sn=self.SN,
+                padding_mode=self.padding_mode,
+                outer_padding=self.outer_padding,
+                gh=gh,
+                gw=gw,
+                dtype=self.dtype,
+                name="final",
+            )(h, chw_fold=(scf, shf, True))
+            out = jnp.transpose(jnp.tanh(h), (0, 2, 3, 1))
+            return out, None
 
         if self.type_norm == "BN":
             h = nn.BatchNorm(

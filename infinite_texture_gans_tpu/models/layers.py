@@ -13,7 +13,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from infinite_texture_gans_tpu.ops.conv import Conv, conv1x1, conv3x3
+from infinite_texture_gans_tpu.ops.conv import Conv, conv1x1, conv3x3, orthogonal
 from infinite_texture_gans_tpu.ops.grid import grid_to_patches, patches_to_grid
 from infinite_texture_gans_tpu.ops.padding import (
     GridPos,
@@ -21,6 +21,7 @@ from infinite_texture_gans_tpu.ops.padding import (
     halo_pad_step,
     local_pad,
 )
+from infinite_texture_gans_tpu.ops.pallas_conv import conv1x1_chw, conv3x3_chw
 
 
 def activation_fn(leak: float):
@@ -28,6 +29,60 @@ def activation_fn(leak: float):
     if leak > 0:
         return lambda x: nn.leaky_relu(x, negative_slope=leak)
     return nn.relu
+
+
+class RawConvParams(nn.Module):
+    """Declares the same parameters as :class:`ops.conv.Conv` (HWIO kernel +
+    bias, orthogonal init) WITHOUT computing — the channels-major Pallas path
+    consumes the raw arrays, and using this under the same submodule name
+    keeps the variable tree identical to the XLA path (same checkpoints, same
+    torch importer)."""
+
+    features: int
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        ks = self.kernel_size
+        kernel = self.param(
+            "kernel", orthogonal(column_axis=-1), (ks, ks, in_ch, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class BNFold(nn.Module):
+    """BatchNorm on channels-major (N, C, H, W) that returns the folded
+    per-channel ``(scale, shift)`` for fusion into the Pallas conv instead of
+    a normalized array. Parameter/stat names, shapes, inits and the running-
+    stat update match ``nn.BatchNorm(momentum=0.9, epsilon=1e-5)`` exactly,
+    so both code paths share variables."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x_chw: jnp.ndarray, *, train: bool):
+        c = x_chw.shape[1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x_chw.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 2, 3))
+            v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
+        else:
+            m, v = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(v + self.epsilon) * scale
+        return inv, bias - m * inv
 
 
 class ConvLP(nn.Module):
@@ -61,7 +116,16 @@ class ConvLP(nn.Module):
         pos: Optional[GridPos] = None,
         *,
         update_sn: bool = False,
+        chw_fold=None,
     ):
+        if chw_fold is not None:
+            # Channels-major fused path: x is (N, C, H, W); the preceding
+            # BN-apply + ReLU are folded into the Pallas conv (see
+            # ops/pallas_conv.py). Same 'conv' submodule name -> same tree.
+            scale, shift, relu = chw_fold
+            kernel, bias = RawConvParams(self.features, 3, name="conv")(x.shape[1])
+            y = conv3x3_chw(x, kernel, bias, scale, shift, relu, self.outer_padding)
+            return y, halo
         if self.padding_mode == "local":
             if self.pre_padded:
                 padded = x
@@ -227,6 +291,7 @@ class ResBlockGenerator(nn.Module):
         *,
         train: bool,
         update_sn: bool = False,
+        chw: bool = False,
     ):
         act = activation_fn(self.leak)
         learnable_sc = self.in_features != self.features
@@ -238,6 +303,23 @@ class ResBlockGenerator(nn.Module):
             gw=self.gw,
             dtype=self.dtype,
         )
+
+        if chw:
+            # Channels-major Pallas path (BN + ReLU fused into each conv);
+            # gated by the generator to BN-norm, leak=0, no-SN blocks.
+            sc1, sh1 = BNFold(name="bn1")(x, train=train)
+            out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
+                x, chw_fold=(sc1, sh1, True)
+            )
+            sc2, sh2 = BNFold(name="bn2")(out, train=train)
+            out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
+                out, chw_fold=(sc2, sh2, True)
+            )
+            sc = x
+            if learnable_sc:
+                k3, b3 = RawConvParams(self.features, 1, name="conv3")(x.shape[1])
+                sc = conv1x1_chw(x, k3, b3)
+            return out + sc, halo1, halo2
 
         if self.type_norm == "SSM":
             out = act(

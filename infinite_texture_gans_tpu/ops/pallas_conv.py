@@ -46,13 +46,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_bh(h: int, w: int, c: int, dtype_bytes: int) -> int:
     """Rows per block: target a few MB of VMEM for the stacked tap matrix
-    (9C x BH*W) while dividing H."""
+    (9C x BH*W). Must divide H and be a multiple of 8 (Mosaic requires the
+    second-minor block dim divisible by 8 or equal to the array dim)."""
     budget = 4 * 1024 * 1024
-    bh = max(8, budget // max(1, 9 * c * w * dtype_bytes))
-    bh = min(bh, h)
-    while h % bh:
-        bh -= 1
-    return max(1, bh)
+    want = max(8, budget // max(1, 9 * c * w * dtype_bytes))
+    cands = [d for d in range(8, h + 1, 8) if h % d == 0]
+    if not cands:
+        return h  # whole-H block (equal-dim rule)
+    fit = [d for d in cands if d <= want]
+    return fit[-1] if fit else cands[0]
 
 
 def _halo_rows(x: jnp.ndarray, bh: int):
@@ -339,6 +341,117 @@ def _bwd_rule(relu, outer_padding, res, g):
 
 
 conv3x3_chw.defvjp(_fwd_rule, _bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# 1x1 conv (the ResBlock shortcut) on channels-major arrays.
+
+
+def _conv1x1_kernel(bh: int):
+    def kernel(x_ref, w_ref, b_ref, y_ref):
+        w = x_ref.shape[3]
+        xm = x_ref[0].reshape(-1, bh * w)  # (C, BH*W)
+        y = lax.dot_general(
+            w_ref[:, :], xm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        y = y + b_ref[:, :]
+        y_ref[0, :, :, :] = y.reshape(-1, bh, w).astype(y_ref.dtype)
+
+    return kernel
+
+
+@jax.jit
+def _conv1x1_chw_fwd(x, wm, b):
+    n, c, h, w = x.shape
+    co = wm.shape[0]
+    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    return pl.pallas_call(
+        _conv1x1_kernel(bh),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
+        interpret=_interpret(),
+    )(x, wm, b)
+
+
+def _dw1x1_kernel(bh: int):
+    def kernel(x_ref, g_ref, dw_ref):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        w = x_ref.shape[3]
+        xm = x_ref[0].reshape(-1, bh * w)       # (C, BH*W)
+        g = g_ref[0].reshape(-1, bh * w)        # (Co, BH*W)
+        acc = lax.dot_general(
+            g, xm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Co, C)
+        first = jnp.logical_and(n == 0, t == 0)
+
+        @pl.when(first)
+        def _():
+            dw_ref[:, :] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw_ref[:, :] = dw_ref[:, :] + acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("co",))
+def _conv1x1_chw_dw(x, g, *, co: int):
+    n, c, h, w = x.shape
+    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    return pl.pallas_call(
+        _dw1x1_kernel(bh),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((co, c), jnp.float32),
+        interpret=_interpret(),
+    )(x, g)
+
+
+@jax.custom_vjp
+def conv1x1_chw(x, w, b):
+    """y = 1x1 conv on (N, C, H, W): the ResBlock shortcut
+    (reference models/layers.py:296-299), lane-dense."""
+    return _conv1x1_impl(x, w, b)
+
+
+def _conv1x1_impl(x, w, b):
+    co = w.shape[-1]
+    wm = jnp.transpose(w.reshape(-1, co), (1, 0)).astype(x.dtype)  # (Co, C)
+    return _conv1x1_chw_fwd(x, wm, b.reshape(co, 1).astype(x.dtype))
+
+
+def _conv1x1_fwd_rule(x, w, b):
+    return _conv1x1_impl(x, w, b), (x, w, b)
+
+
+def _conv1x1_bwd_rule(res, g):
+    x, w, b = res
+    c, co = w.shape[-2], w.shape[-1]
+    # dx = W (C, Co) @ g: reuse the forward kernel with transposed weights
+    wT = jnp.transpose(w.reshape(c, co), (1, 0)).reshape(1, 1, co, c)
+    dx = _conv1x1_impl(g, wT, jnp.zeros((c,), g.dtype))
+    dwm = _conv1x1_chw_dw(x, g, co=co)  # (Co, C)
+    dw = jnp.transpose(dwm, (1, 0)).reshape(w.shape).astype(w.dtype)
+    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3)).astype(b.dtype)
+    return dx.astype(x.dtype), dw, db
+
+
+conv1x1_chw.defvjp(_conv1x1_fwd_rule, _conv1x1_bwd_rule)
 
 
 def conv3x3_chw_reference(x, w, b, scale, shift, relu=True,

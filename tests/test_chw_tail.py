@@ -1,0 +1,98 @@
+"""The channels-major Pallas tail (chw_tail='on') must match the NHWC/XLA
+path on the SAME variables: identical variable tree, matching forward
+outputs, matching gradients and BN running-stat updates."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.sampling import latents
+
+
+def build(chw_tail):
+    return ResidualPatchGenerator(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=True, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding="replicate",
+        chw_tail=chw_tail,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    gen_ref = build("off")
+    z = latents.build_train_z(jax.random.key(1), 2, 16, 4, 3, 3)
+    variables = jax.jit(lambda z: gen_ref.init(jax.random.key(0), z, train=True))(z)
+    return gen_ref, build("on"), dict(variables), z
+
+
+def test_same_variable_tree(setup):
+    gen_ref, gen_chw, variables, z = setup
+    v2 = jax.jit(lambda z: gen_chw.init(jax.random.key(0), z, train=True))(z)
+    t1 = jax.tree_util.tree_structure(variables)
+    t2 = jax.tree_util.tree_structure(dict(v2))
+    assert t1 == t2
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_leaves_with_path(variables),
+        jax.tree_util.tree_leaves_with_path(dict(v2)),
+    ):
+        assert a.shape == b.shape, (p1, a.shape, b.shape)
+
+
+def test_forward_eval_matches(setup):
+    gen_ref, gen_chw, variables, z = setup
+    y_ref, _ = jax.jit(lambda v, z: gen_ref.apply(v, z, train=False))(variables, z)
+    y_chw, _ = jax.jit(lambda v, z: gen_chw.apply(v, z, train=False))(variables, z)
+    np.testing.assert_allclose(
+        np.asarray(y_chw), np.asarray(y_ref), atol=5e-5, rtol=1e-4
+    )
+
+
+def test_forward_train_matches_incl_stats(setup):
+    gen_ref, gen_chw, variables, z = setup
+
+    def fwd(gen, v, z):
+        (y, _), upd = gen.apply(v, z, train=True, mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    y_ref, bs_ref = jax.jit(lambda v, z: fwd(gen_ref, v, z))(variables, z)
+    y_chw, bs_chw = jax.jit(lambda v, z: fwd(gen_chw, v, z))(variables, z)
+    np.testing.assert_allclose(np.asarray(y_chw), np.asarray(y_ref), atol=5e-5, rtol=1e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_ref),
+        jax.tree_util.tree_leaves_with_path(bs_chw),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5, err_msg=str(path)
+        )
+
+
+def test_grads_match(setup):
+    gen_ref, gen_chw, variables, z = setup
+    params = variables["params"]
+    aux = {"batch_stats": variables["batch_stats"]}
+
+    def loss(gen, p, z):
+        (y, _), _ = gen.apply(
+            {"params": p, **aux}, z, train=True, mutable=["batch_stats"]
+        )
+        return jnp.mean(y * jnp.sin(y))
+
+    g_ref = jax.jit(jax.grad(lambda p, z: loss(gen_ref, p, z)))(params, z)
+    g_chw = jax.jit(jax.grad(lambda p, z: loss(gen_chw, p, z)))(params, z)
+    # Conv biases immediately followed by BatchNorm have mathematically ~zero
+    # gradient (the batch-mean subtraction cancels them); those leaves are
+    # pure float noise in both paths. Normalize by the GLOBAL gradient scale.
+    gscale = max(
+        float(np.abs(np.asarray(x)).max()) for x in jax.tree_util.tree_leaves(g_ref)
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_chw),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b) / gscale, np.asarray(a) / gscale,
+            atol=5e-5, rtol=1e-3, err_msg=str(path),
+        )
