@@ -53,8 +53,9 @@ def main() -> None:
     args.random_crop = 192
     args.batch_size = 64
     args.num_images = 8
-    if os.environ.get("BENCH_COMPUTE_DTYPE"):
-        args.compute_dtype = os.environ["BENCH_COMPUTE_DTYPE"]
+    # production config: bfloat16 compute (+ channels-major Pallas tail on
+    # TPU); override with BENCH_COMPUTE_DTYPE=float32 for the parity dtype.
+    args.compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 
     G = ResidualPatchGenerator(**generator_kwargs(args))
     D = PatchDiscriminator(**discriminator_kwargs(args))
@@ -108,18 +109,23 @@ def main() -> None:
     from infinite_texture_gans_tpu.sampling.infinite import generate_one_pass
     from infinite_texture_gans_tpu.sampling.latents import build_z_full
 
+    # Engine exactness is measured in f32 on the NHWC path on both sides:
+    # it is a property of the halo-cache scan vs the one-pass oracle, and
+    # must not be polluted by bf16 rounding or by cross-path float flavor
+    # (an untrained net's unnormalized activations amplify either to ~1e-2;
+    # the Pallas-kernel equivalence has its own tests).
+    import jax.numpy as jnp
+
+    G32 = G.clone(dtype=jnp.float32, chw_tail="off")
+    vars32 = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if hasattr(x, "astype") else x, gen_vars
+    )
     z5 = build_z_full(jax.random.key(11), 1, args.z_dim, args.base_res, 5, 5)
     pbp = generate_canvas(
-        G, gen_vars, jax.random.key(11), 5 * G.patch_resolution,
+        G32, vars32, jax.random.key(11), 5 * G.patch_resolution,
         5 * G.patch_resolution, num_images=1, z_full=z5,
     )
-    # like-for-like: the halo engine runs the NHWC path, so the one-pass
-    # oracle must too (the CHW/Pallas kernel equivalence is covered by its
-    # own tests; an untrained net's unnormalized activations amplify any
-    # cross-path float-flavor difference to ~1e-2 and would pollute this
-    # engine-correctness metric).
-    G_nhwc = G.clone(chw_tail="off")
-    onep = np.asarray(generate_one_pass(G_nhwc, gen_vars, z5, None, 5, 5))
+    onep = np.asarray(generate_one_pass(G32, vars32, z5, None, 5, 5))
     engine_max_err = float(np.abs(pbp - onep).max())
 
     baseline = None
