@@ -170,6 +170,62 @@ class MultipleImagesDataset:
         return _normalize(np.stack(out))
 
 
+class DeviceCropSampler:
+    """Random-crop sampling ON DEVICE for single-image training.
+
+    The source texture is tiny (~1MB); shipping 64 crops of 192^2 to the
+    device every step costs ~28MB of H2D per step — orders of magnitude more
+    than the image itself. Instead the uint8 image lives in HBM once and a
+    jitted sampler draws crop offsets with jax.random and gathers + normalizes
+    the batch on device (reference semantics: RandomCrop + ToTensor +
+    Normalize(0.5, 0.5), datasets_classes.py:31-44). Replaces the host
+    Prefetcher for ``single_image`` runs.
+    """
+
+    def __init__(self, dataset: "SingleImageDataset", device_put=None):
+        import jax
+
+        put = device_put or jax.device_put
+        self.img = put(dataset.img)  # (H, W, C) uint8 on device
+        self.random_crop = dataset.random_crop
+
+    def sample(self, key, batch_size: int):
+        if self.random_crop:
+            return _sample_crops_jit(self.img, key, self.random_crop, batch_size)
+        return _broadcast_norm_jit(self.img, batch_size)
+
+
+def _make_device_samplers():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    @functools.partial(jax.jit, static_argnames=("crop", "batch"))
+    def sample_crops(img, key, crop, batch):
+        h, w, c = img.shape
+        kh, kw = jax.random.split(key)
+        tops = jax.random.randint(kh, (batch,), 0, h - crop + 1)
+        lefts = jax.random.randint(kw, (batch,), 0, w - crop + 1)
+
+        def get(t, l):
+            return lax.dynamic_slice(img, (t, l, 0), (crop, crop, c))
+
+        crops = jax.vmap(get)(tops, lefts)
+        return crops.astype(jnp.float32) / 127.5 - 1.0
+
+    @functools.partial(jax.jit, static_argnames=("batch",))
+    def broadcast_norm(img, batch):
+        x = img.astype(jnp.float32) / 127.5 - 1.0
+        return jnp.broadcast_to(x, (batch,) + x.shape)
+
+    return sample_crops, broadcast_norm
+
+
+_sample_crops_jit, _broadcast_norm_jit = _make_device_samplers()
+
+
 class Prefetcher:
     """Background thread that keeps a small queue of device-resident batches
     so the host crop sampling overlaps device compute."""

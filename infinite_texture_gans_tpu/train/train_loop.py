@@ -23,7 +23,12 @@ from infinite_texture_gans_tpu.config import (
     generator_kwargs,
     prepare_parser,
 )
-from infinite_texture_gans_tpu.data.datasets import Prefetcher, prepare_data
+from infinite_texture_gans_tpu.data.datasets import (
+    DeviceCropSampler,
+    Prefetcher,
+    SingleImageDataset,
+    prepare_data,
+)
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
@@ -137,17 +142,34 @@ def train(args) -> None:
             state = replicate(state, mesh)
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
+    # single-image runs sample their crops ON DEVICE (the image is ~1MB;
+    # shipping 64x192^2 crops per step would be ~28MB of H2D each step)
+    device_sampler = (
+        DeviceCropSampler(dataset, device_put=(lambda x: shard_batch(x, None)))
+        if isinstance(dataset, SingleImageDataset)
+        else None
+    )
+
     profiled = False
     print("Starting Training Loop...")
     for epoch in range(start_epoch, args.epochs):
         key, data_key, epoch_key = jax.random.split(key, 3)
-        prefetcher = Prefetcher(
-            dataset,
-            args.batch_size,
-            steps_per_epoch,
-            seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
-            device_put=(lambda x: shard_batch(x, mesh)),
-        )
+        if device_sampler is not None:
+            crop_keys = jax.random.split(data_key, steps_per_epoch)
+            prefetcher = (
+                shard_batch(device_sampler.sample(crop_keys[i], args.batch_size), mesh)
+                if mesh is not None
+                else device_sampler.sample(crop_keys[i], args.batch_size)
+                for i in range(steps_per_epoch)
+            )
+        else:
+            prefetcher = Prefetcher(
+                dataset,
+                args.batch_size,
+                steps_per_epoch,
+                seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
+                device_put=(lambda x: shard_batch(x, mesh)),
+            )
         # Metrics stay on device during the epoch (a float() per step would
         # force a host sync and serialize dispatch); one block at epoch end.
         epoch_metrics = []
