@@ -206,6 +206,35 @@ def test_resume_roundtrip(tmp_path):
     assert np.isfinite(float(metrics["g_loss"]))
 
 
+def test_multiple_images_dataset_and_prefetcher(tmp_path):
+    """Directory-of-images dataset (reference datasets_classes.py:54-128)
+    through the threaded prefetcher."""
+    from infinite_texture_gans_tpu.data.datasets import (
+        MultipleImagesDataset,
+        Prefetcher,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in range(3):
+        write_texture(str(d / f"t{i}.png"), 64, 64)
+    ds = MultipleImagesDataset(str(d), ext="png", random_crop=32)
+    assert len(ds) == 3
+    rng = np.random.default_rng(0)
+    b = ds.sample_batch(rng, 4)
+    assert b.shape == (4, 32, 32, 3) and b.min() >= -1 and b.max() <= 1
+
+    pf = Prefetcher(ds, batch_size=4, steps=3, seed=1)
+    batches = list(pf)
+    assert len(batches) == 3
+    assert all(x.shape == (4, 32, 32, 3) for x in batches)
+
+    # resize + center-crop variant (reference resizes center crops to 64)
+    ds2 = MultipleImagesDataset(str(d), ext="png", center_crop=48, resize=(64, 64))
+    b2 = ds2.sample_batch(rng, 2)
+    assert b2.shape == (2, 64, 64, 3)
+
+
 def test_full_train_loop_smoke(tmp_path):
     """Two tiny epochs end to end through train(args): losses finite,
     checkpoints + EMA checkpoint + losses.png written."""
