@@ -13,8 +13,7 @@ replacing --num_gpus/--gpu_list, --compute_dtype for bfloat16 compute.
 from __future__ import annotations
 
 import argparse
-import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 
 def prepare_parser() -> argparse.ArgumentParser:

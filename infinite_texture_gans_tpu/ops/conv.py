@@ -9,7 +9,7 @@ collection instead of a hidden forward hook.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Union
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax

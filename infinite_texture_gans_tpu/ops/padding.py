@@ -42,7 +42,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Sequence
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -12,7 +12,7 @@ are 4 (two consecutive valid convs inside SSM).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import jax
 import jax.numpy as jnp

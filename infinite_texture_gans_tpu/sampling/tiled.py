@@ -9,13 +9,12 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
-from infinite_texture_gans_tpu.sampling import latents
 
 
 def sample_from_gen(

@@ -11,10 +11,8 @@ from __future__ import annotations
 import math
 import random
 import time
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from infinite_texture_gans_tpu.config import (

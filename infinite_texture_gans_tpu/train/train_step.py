@@ -16,7 +16,6 @@ Everything is explicit functional state: no hooks, no module mutation.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
