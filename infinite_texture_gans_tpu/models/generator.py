@@ -167,13 +167,9 @@ class ResidualPatchGenerator(nn.Module):
             # i > 3: per-patch attention (after block3) needs NHWC
             if not chw_capable or i <= 3:
                 return False
-            w_here = gw * self.base_res * (2 ** (i - 1))
-            # Mosaic only lowers the in-kernel (C,BH,W)->(C,BH*W) collapse
-            # when W is lane-aligned; 'on' still respects that on TPU.
-            w_ok = w_here % 128 == 0 or jax.default_backend() != "tpu"
             if self.chw_tail == "on":
-                return cin <= 64 and w_ok
-            return cin <= 64 and w_ok and jax.default_backend() == "tpu"
+                return cin <= 64
+            return cin <= 64 and jax.default_backend() == "tpu"
 
         is_chw = False
         for i, (cin, cout) in enumerate(plan, start=1):

@@ -57,6 +57,22 @@ def _pick_bh(h: int, w: int, c: int, dtype_bytes: int) -> int:
     return fit[-1] if fit else cands[0]
 
 
+
+def _pad_w_lanes(x: jnp.ndarray, fill: str) -> jnp.ndarray:
+    """Lane-pad the minor W dim to a multiple of 128 (Mosaic's in-kernel
+    (C,BH,W)->(C,BH*W) collapse requires it). 'edge' fill keeps replicate
+    column-halo semantics at the true right border; 'zeros' keeps zero-halo
+    semantics; padded output columns are sliced off by the caller."""
+    w = x.shape[-1]
+    pad = (-w) % 128
+    if pad == 0:
+        return x
+    if fill == "edge":
+        tail = jnp.broadcast_to(x[..., -1:], x.shape[:-1] + (pad,))
+        return jnp.concatenate([x, tail], axis=-1)
+    return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+
+
 def _halo_rows(x: jnp.ndarray, bh: int):
     """Top/bottom neighbor rows per H-block, replicate semantics at the
     canvas border. x (N, C, H, W) -> tops/bots (N, nt, C, W) — the block
@@ -67,10 +83,11 @@ def _halo_rows(x: jnp.ndarray, bh: int):
     return jnp.swapaxes(tops, 1, 2), jnp.swapaxes(bots, 1, 2)
 
 
-def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh):
+def _prenorm_and_shifts(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh,
+                        w_true):
     """Assemble the (C, BH+2, W) slab from the block + halo rows, apply the
     fused scale/shift (+ReLU), fix halo values for zero outer padding, and
-    build the (9C, BH*W) stacked tap matrix. top/bot arrive as (C, W)."""
+    return the three column-shifted variants. top/bot arrive as (C, W)."""
     x = jnp.concatenate([top[:, None, :], xb, bot[:, None, :]], axis=1)  # (C, BH+2, W)
     x = x * sc_ref[:, :, :] + sh_ref[:, :, :]  # scale/shift arrive (C, 1, W)
     if relu:
@@ -81,6 +98,11 @@ def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh
         top_m = jnp.logical_and(row == 0, t == 0)
         bot_m = jnp.logical_and(row == bh + 1, t == nt - 1)
         x = jnp.where(jnp.logical_or(top_m, bot_m), 0.0, x).astype(x.dtype)
+        if w_true != x.shape[2]:
+            # lane-padded columns beyond the true width must also be zero
+            # POST-norm (they are the true right edge's halo source)
+            col = lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[2]), 2)
+            x = jnp.where(col >= w_true, 0.0, x).astype(x.dtype)
 
     first_col = x[:, :, :1]
     last_col = x[:, :, -1:]
@@ -89,7 +111,16 @@ def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh
         last_col = jnp.zeros_like(last_col)
     left = jnp.concatenate([first_col, x[:, :, :-1]], axis=2)   # tap dx=0 (w-1)
     right = jnp.concatenate([x[:, :, 1:], last_col], axis=2)    # tap dx=2 (w+1)
+    return left, x, right
 
+
+def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh,
+                       w_true):
+    """(9C, BH*W) stacked tap matrix — requires W % 128 == 0 for the
+    in-kernel lane-merge reshape (Mosaic restriction)."""
+    left, x, right = _prenorm_and_shifts(
+        xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true
+    )
     c = x.shape[0]
     w = x.shape[2]
     parts = []
@@ -99,22 +130,23 @@ def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh
     return jnp.concatenate(parts, axis=0)  # (9C, BH*W)
 
 
-def _conv_kernel(relu: bool, zeros_mode: bool, bh: int):
-    """Forward kernel factory. Grid (N, H/BH)."""
+def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int):
+    """Forward kernel factory. Grid (N, H/BH). Requires W % 128 == 0 (the
+    wrapper lane-pads other widths; ``w_true`` is the unpadded width)."""
 
     def kernel(x_ref, top_ref, bot_ref, w9_ref, b_ref, sc_ref, sh_ref, y_ref):
         t = pl.program_id(1)
         nt = pl.num_programs(1)
+        w = x_ref.shape[3]
         stacked = _prenorm_and_stack(
             x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
-            relu, zeros_mode, t, nt, bh,
+            relu, zeros_mode, t, nt, bh, w_true,
         )
         y = lax.dot_general(
             w9_ref[:, :], stacked, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         y = y + b_ref[:, :]
-        w = x_ref.shape[3]
         y_ref[0, :, :, :] = y.reshape(-1, bh, w).astype(y_ref.dtype)
 
     return kernel
@@ -126,11 +158,16 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit, static_argnames=("relu", "outer_padding"))
 def _conv3x3_chw_fwd(x, w9, b, scale, shift, *, relu: bool, outer_padding: str):
+    w_true = x.shape[3]
+    x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
+    if x.shape[3] != w_true and scale.shape[-1] == w_true:
+        scale = _pad_w_lanes(scale, "edge")
+        shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
     co = w9.shape[0]
     bh = _pick_bh(h, w, c, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    kernel = _conv_kernel(relu, outer_padding == "constant", bh)
+    kernel = _conv_kernel(relu, outer_padding == "constant", bh, w_true)
     return pl.pallas_call(
         kernel,
         grid=(n, h // bh),
@@ -148,10 +185,10 @@ def _conv3x3_chw_fwd(x, w9, b, scale, shift, *, relu: bool, outer_padding: str):
         ),
         out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
         interpret=_interpret(),
-    )(x, tops, bots, w9, b, scale, shift)
+    )(x, tops, bots, w9, b, scale, shift)[..., :w_true]
 
 
-def _dw_kernel(relu: bool, zeros_mode: bool, bh: int):
+def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int):
     """dW kernel: (Co, 9C) += g_block (Co, BH*W) @ stacked(x)^T, accumulated
     across every grid block (TPU grid is sequential; the output block has a
     constant index so it lives in VMEM for the whole grid)."""
@@ -160,11 +197,11 @@ def _dw_kernel(relu: bool, zeros_mode: bool, bh: int):
         n = pl.program_id(0)
         t = pl.program_id(1)
         nt = pl.num_programs(1)
+        w = x_ref.shape[3]
         stacked = _prenorm_and_stack(
             x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
-            relu, zeros_mode, t, nt, bh,
+            relu, zeros_mode, t, nt, bh, w_true,
         )
-        w = x_ref.shape[3]
         g = g_ref[0, :, :, :].reshape(-1, bh * w)  # (Co, BH*W)
         acc = lax.dot_general(
             g, stacked, (((1,), (1,)), ((), ())),
@@ -186,10 +223,17 @@ def _dw_kernel(relu: bool, zeros_mode: bool, bh: int):
 
 @functools.partial(jax.jit, static_argnames=("relu", "outer_padding", "co"))
 def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str, co: int):
+    w_true = x.shape[3]
+    x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
+    if x.shape[3] != w_true:
+        g = _pad_w_lanes(g, "zeros")  # zero grads in pad columns -> no dW leak
+        if scale.shape[-1] == w_true:
+            scale = _pad_w_lanes(scale, "edge")
+            shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
     bh = _pick_bh(h, w, c, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    kernel = _dw_kernel(relu, outer_padding == "constant", bh)
+    kernel = _dw_kernel(relu, outer_padding == "constant", bh, w_true)
     return pl.pallas_call(
         kernel,
         grid=(n, h // bh),
@@ -363,6 +407,8 @@ def _conv1x1_kernel(bh: int):
 
 @jax.jit
 def _conv1x1_chw_fwd(x, wm, b):
+    w_true = x.shape[3]
+    x = _pad_w_lanes(x, "zeros")
     n, c, h, w = x.shape
     co = wm.shape[0]
     bh = _pick_bh(h, w, c, x.dtype.itemsize)
@@ -379,7 +425,7 @@ def _conv1x1_chw_fwd(x, wm, b):
         ),
         out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
         interpret=_interpret(),
-    )(x, wm, b)
+    )(x, wm, b)[..., :w_true]
 
 
 def _dw1x1_kernel(bh: int):
@@ -407,6 +453,9 @@ def _dw1x1_kernel(bh: int):
 
 @functools.partial(jax.jit, static_argnames=("co",))
 def _conv1x1_chw_dw(x, g, *, co: int):
+    if x.shape[3] % 128:
+        x = _pad_w_lanes(x, "zeros")
+        g = _pad_w_lanes(g, "zeros")
     n, c, h, w = x.shape
     bh = _pick_bh(h, w, c, x.dtype.itemsize)
     return pl.pallas_call(

@@ -110,6 +110,41 @@ def test_grid_canvas_no_attention_5_layers():
     check_canvas_equals_one_pass(gen, 192 + 64, 192 + 64)
 
 
+def test_six_layer_exactness_with_inactive_attention():
+    """n_layers_G=6 (the Exp-1 depth) halo scan is bit-exact vs one-pass as
+    long as the attention gate is inactive (gamma=0, its init value). With
+    gamma != 0 a small deviation is INHERENT to the reference algorithm (the
+    per-patch attention spreads sub-image edge-padding contamination into the
+    cached halo column — see PARITY.md), so exactness is only guaranteed for
+    the pure local-padding pathway."""
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+    from infinite_texture_gans_tpu.sampling.infinite import (
+        generate_canvas,
+        generate_one_pass,
+    )
+    from infinite_texture_gans_tpu.sampling.latents import build_z_full
+
+    gen = ResidualPatchGenerator(
+        z_dim=8, G_ch=8, base_res=4, n_layers_G=6, attention=True, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding="replicate",
+    )
+    z3 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z3)
+    variables = {
+        "params": variables["params"], "batch_stats": variables["batch_stats"]
+    }
+    P = gen.patch_resolution  # 128
+    z5 = build_z_full(jax.random.key(1), 1, 8, 4, 5, 5)
+    pbp = generate_canvas(
+        gen, variables, jax.random.key(0), 5 * P, 5 * P, num_images=1, z_full=z5
+    )
+    onep = np.asarray(generate_one_pass(gen, variables, z5, None, 5, 5))
+    np.testing.assert_allclose(pbp, onep, atol=5e-5, rtol=1e-4)
+
+
 def test_non_multiple_output_resolution():
     gen = make_gen()
     # output not a multiple of the patch size -> final crop path

@@ -39,6 +39,29 @@ def test_forward_matches_oracle(outer, relu, h):
 
 
 @pytest.mark.parametrize("outer", ["replicate", "constant"])
+def test_forward_and_vjp_non_lane_aligned_width(outer):
+    """W not a multiple of 128 goes through the wrapper's lane padding;
+    results and gradients must still match the oracle exactly."""
+    x, wk, b, scale, shift = make_inputs(jax.random.key(3), 2, 4, 3, 16, 96)
+    y = conv3x3_chw(x, wk, b, scale, shift, True, outer)
+    ref = conv3x3_chw_reference(x, wk, b, scale, shift, True, outer)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def lp(x, wk, b):
+        return jnp.sum(jnp.sin(conv3x3_chw(x, wk, b, scale, shift, True, outer)))
+
+    def lr(x, wk, b):
+        return jnp.sum(jnp.sin(conv3x3_chw_reference(x, wk, b, scale, shift, True, outer)))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(x, wk, b)
+    gr = jax.grad(lr, argnums=(0, 1, 2))(x, wk, b)
+    for name, a, r in zip(["dx", "dw", "db"], gp, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(r), atol=5e-4, rtol=5e-4, err_msg=name
+        )
+
+
+@pytest.mark.parametrize("outer", ["replicate", "constant"])
 def test_vjp_matches_oracle(outer):
     x, wk, b, scale, shift = make_inputs(jax.random.key(1), 2, 4, 3, 32, 128)
 
