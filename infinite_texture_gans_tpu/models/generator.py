@@ -157,7 +157,6 @@ class ResidualPatchGenerator(nn.Module):
         chw_capable = (
             halo is None
             and local
-            and self.type_norm == "BN"
             and not self.SN
             and self.leak == 0
             and self.chw_tail != "off"
@@ -215,7 +214,14 @@ class ResidualPatchGenerator(nn.Module):
         if is_chw:
             from infinite_texture_gans_tpu.models.layers import BNFold
 
-            scf, shf = BNFold(name="bn")(h, train=train)
+            if self.type_norm == "BN":
+                scf, shf = BNFold(name="bn")(h, train=train)
+                fold = (scf, shf, True)
+            else:
+                # SSM mode has no final norm: plain activation before the conv
+                h = act(h)
+                cf = h.shape[1]
+                fold = (jnp.ones((cf,), jnp.float32), jnp.zeros((cf,), jnp.float32), False)
             h, _ = ConvLP(
                 self.img_ch,
                 sn=self.SN,
@@ -225,7 +231,7 @@ class ResidualPatchGenerator(nn.Module):
                 gw=gw,
                 dtype=self.dtype,
                 name="final",
-            )(h, chw_fold=(scf, shf, True))
+            )(h, chw_fold=fold)
             out = jnp.transpose(jnp.tanh(h), (0, 2, 3, 1))
             return out, None
 

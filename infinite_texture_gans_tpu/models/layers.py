@@ -187,17 +187,24 @@ class StochasticSpatialModulation(nn.Module):
         *,
         train: bool,
         update_sn: bool = False,
+        chw: bool = False,
     ) -> jnp.ndarray:
-        c = x.shape[-1]
-        out = nn.BatchNorm(
-            use_running_average=not train,
-            use_scale=False,
-            use_bias=False,
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        c = x.shape[1] if chw else x.shape[-1]
+        if chw:
+            # channels-major branch: stats over (N, H, W) of (N, C, H, W),
+            # identical variable tree to nn.BatchNorm (batch_stats only —
+            # use_scale/use_bias are False in the NHWC branch)
+            out = _StatsBN(name="bn")(x, train=train)
+        else:
+            out = nn.BatchNorm(
+                use_running_average=not train,
+                use_scale=False,
+                use_bias=False,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         p = 1 if self.padding_mode == "zeros" else 0
         actv = conv3x3(self.hidden, self.sn, padding=p, dtype=self.dtype, name="mlp_shared")(
             maps.astype(jnp.float32), update_sn=update_sn
@@ -214,8 +221,44 @@ class StochasticSpatialModulation(nn.Module):
             kernel_init=_ssm_embed_init(self.hidden, c),
             name="embed",
         )(actv, update_sn=update_sn)
-        gamma, beta = jnp.split(embed, 2, axis=-1)
+        if chw:
+            embed = jnp.transpose(embed, (0, 3, 1, 2))  # -> (N, 2C, H, W)
+            gamma, beta = jnp.split(embed, 2, axis=1)
+        else:
+            gamma, beta = jnp.split(embed, 2, axis=-1)
         return (1 + gamma) * out + beta
+
+
+class _StatsBN(nn.Module):
+    """Parameter-free BatchNorm on channels-major arrays with the exact
+    variable names/updates of ``nn.BatchNorm(use_scale=False,
+    use_bias=False)`` so both layout branches share one tree."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x_chw: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+        c = x_chw.shape[1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+        if train:
+            xf = x_chw.astype(jnp.float32)
+            m = jnp.mean(xf, axis=(0, 2, 3))
+            v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
+        else:
+            m, v = ra_mean.value, ra_var.value
+        inv = jax.lax.rsqrt(v + self.epsilon)
+        return ((x_chw - m[None, :, None, None]) * inv[None, :, None, None]).astype(
+            x_chw.dtype
+        )
 
 
 class Attention(nn.Module):
@@ -305,20 +348,50 @@ class ResBlockGenerator(nn.Module):
         )
 
         if chw:
-            # Channels-major Pallas path (BN + ReLU fused into each conv);
-            # gated by the generator to BN-norm, leak=0, no-SN blocks.
-            sc1, sh1 = BNFold(name="bn1")(x, train=train)
-            out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
-                x, chw_fold=(sc1, sh1, True)
-            )
-            sc2, sh2 = BNFold(name="bn2")(out, train=train)
-            out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
-                out, chw_fold=(sc2, sh2, True)
-            )
+            # Channels-major Pallas path, gated by the generator to leak=0 /
+            # no-SN blocks. BN folds into the conv kernel (per-channel
+            # scale/shift); SSM's per-pixel modulation is applied as dense
+            # channels-major XLA elementwise work and the conv runs with an
+            # identity prenorm on the pre-activated values.
+            c_in = x.shape[1]
+            ones1 = jnp.ones((c_in,), jnp.float32)
+            zeros1 = jnp.zeros((c_in,), jnp.float32)
+            if self.type_norm == "SSM":
+                a = nn.relu(
+                    StochasticSpatialModulation(
+                        self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
+                    )(x, maps, train=train, update_sn=update_sn, chw=True)
+                )
+                out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    a, chw_fold=(ones1, zeros1, False)
+                )
+                onesf = jnp.ones((self.features,), jnp.float32)
+                zerosf = jnp.zeros((self.features,), jnp.float32)
+                a2 = nn.relu(
+                    StochasticSpatialModulation(
+                        self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
+                    )(out, maps, train=train, update_sn=update_sn, chw=True)
+                )
+                out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
+                    a2, chw_fold=(onesf, zerosf, False)
+                )
+            else:
+                sc1, sh1 = BNFold(name="bn1")(x, train=train)
+                out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    x, chw_fold=(sc1, sh1, True)
+                )
+                sc2, sh2 = BNFold(name="bn2")(out, train=train)
+                out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
+                    out, chw_fold=(sc2, sh2, True)
+                )
             sc = x
             if learnable_sc:
+                if self.type_norm == "SSM":
+                    sc = StochasticSpatialModulation(
+                        self.sn, self.padding_mode, dtype=self.dtype, name="bn3"
+                    )(sc, maps, train=train, update_sn=update_sn, chw=True)
                 k3, b3 = RawConvParams(self.features, 1, name="conv3")(x.shape[1])
-                sc = conv1x1_chw(x, k3, b3)
+                sc = conv1x1_chw(sc, k3, b3)
             return out + sc, halo1, halo2
 
         if self.type_norm == "SSM":

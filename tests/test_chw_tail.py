@@ -69,6 +69,46 @@ def test_forward_train_matches_incl_stats(setup):
         )
 
 
+def test_ssm_chw_matches_nhwc():
+    """SSM norm in the channels-major branch (per-pixel modulation applied
+    as dense CHW elementwise, conv with identity prenorm) must match the
+    NHWC path on shared variables, in eval and train-with-stats."""
+    cfg = dict(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=True, img_ch=3,
+        type_norm="SSM", map_dim=2, padding_mode="local",
+        outer_padding="replicate",
+    )
+    gen_ref = ResidualPatchGenerator(**cfg, chw_tail="off")
+    gen_chw = ResidualPatchGenerator(**cfg, chw_tail="on")
+    z = latents.build_train_z(jax.random.key(1), 2, 16, 4, 3, 3)
+    maps = latents.build_train_maps(jax.random.key(2), 2, 2, 5, 4, 3, 3)
+    variables = dict(
+        jax.jit(lambda z, m: gen_ref.init(jax.random.key(0), z, m, train=True))(z, maps)
+    )
+    assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+        dict(jax.jit(lambda z, m: gen_chw.init(jax.random.key(0), z, m, train=True))(z, maps))
+    )
+
+    y_ref, _ = jax.jit(lambda v, z, m: gen_ref.apply(v, z, m, train=False))(variables, z, maps)
+    y_chw, _ = jax.jit(lambda v, z, m: gen_chw.apply(v, z, m, train=False))(variables, z, maps)
+    np.testing.assert_allclose(np.asarray(y_chw), np.asarray(y_ref), atol=5e-5, rtol=1e-4)
+
+    def fwd(gen, v, z, m):
+        (y, _), upd = gen.apply(v, z, m, train=True, mutable=["batch_stats"])
+        return y, upd["batch_stats"]
+
+    yt_ref, bs_ref = jax.jit(lambda v, z, m: fwd(gen_ref, v, z, m))(variables, z, maps)
+    yt_chw, bs_chw = jax.jit(lambda v, z, m: fwd(gen_chw, v, z, m))(variables, z, maps)
+    np.testing.assert_allclose(np.asarray(yt_chw), np.asarray(yt_ref), atol=5e-5, rtol=1e-4)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(bs_ref),
+        jax.tree_util.tree_leaves_with_path(bs_chw),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5, err_msg=str(path)
+        )
+
+
 def test_grads_match(setup):
     gen_ref, gen_chw, variables, z = setup
     params = variables["params"]
