@@ -108,9 +108,14 @@ def main():
         timeit(g_grad_step, state.params_G, state.aux_G, state.params_D,
                state.aux_D, state.opt_G, z), 3)
 
-    out["full_step_ms"] = round(
-        timeit(lambda s, r, k: step(s, r, k)[0].params_G,
-               state, real, jax.random.key(2)), 3)
+    # the train step donates its input state -> chain states when timing
+    st = step(state, real, jax.random.key(2))[0]
+    jax.block_until_ready(st.params_G)
+    t0 = time.perf_counter()
+    for i in range(20):
+        st, _ = step(st, real, jax.random.key(3 + i))
+    jax.block_until_ready(st.params_G)
+    out["full_step_ms"] = round((time.perf_counter() - t0) / 20 * 1e3, 3)
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out))
 

@@ -24,11 +24,12 @@ import jax.numpy as jnp
 
 
 def _upsample_nearest_chw(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
-    """Nearest-neighbour upsample on channels-major (N, C, H, W) arrays."""
-    n, c, h, w = x.shape
-    x = x.reshape(n, c, h, 1, w, 1)
-    x = jnp.broadcast_to(x, (n, c, h, factor, w, factor))
-    return x.reshape(n, c, h * factor, w * factor)
+    """Nearest-neighbour upsample on channels-major (N, C, H, W) arrays.
+
+    jnp.repeat (not reshape+broadcast): the rank-6 broadcast form made XLA
+    pick {1,0,3,2} layouts for its backward reduce, inserting relayout
+    copies at the Pallas-conv boundaries."""
+    return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
 
 from infinite_texture_gans_tpu.models.layers import (
     ConvLP,

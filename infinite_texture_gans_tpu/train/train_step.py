@@ -16,6 +16,7 @@ Everything is explicit functional state: no hooks, no module mutation.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax
@@ -178,7 +179,7 @@ def make_train_step(
             return logit, dict(new_aux)
         return out, aux_D
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, real_x: jnp.ndarray, key: jax.Array):
         params_D, aux_D, opt_D = state.params_D, state.aux_D, state.opt_D
         aux_G = state.aux_G

@@ -83,23 +83,25 @@ def test_train_step_updates(loss_type):
         num_images=args.num_images, ema_decay=0.5, use_ema=True,
     )
     real = jnp.zeros((4, 48, 48, 3))
+    # the train step donates its input state — snapshot what we compare first
+    params_old = jax.tree_util.tree_map(np.asarray, state.params_G)
+    leaf_old = params_old["final"]["conv"]["kernel"]
+    u_old = np.asarray(jax.tree_util.tree_leaves(state.aux_D["spectral"])[0])
     state2, metrics = step(state, real, jax.random.key(1))
     for v in metrics.values():
         assert np.isfinite(float(v))
     # params actually moved
     diff = jax.tree_util.tree_map(
-        lambda a, b: float(jnp.abs(a - b).max()), state.params_G, state2.params_G
+        lambda a, b: float(jnp.abs(a - b).max()), params_old, state2.params_G
     )
     assert max(jax.tree_util.tree_leaves(diff)) > 0
     # EMA between old and new
-    leaf_old = state.params_G["final"]["conv"]["kernel"]
     leaf_new = state2.params_G["final"]["conv"]["kernel"]
     leaf_ema = state2.ema["params"]["final"]["conv"]["kernel"]
     np.testing.assert_allclose(
         np.asarray(leaf_ema), np.asarray(0.5 * leaf_old + 0.5 * leaf_new), rtol=1e-5, atol=1e-7
     )
     # spectral norm state updated (D has SN)
-    u_old = jax.tree_util.tree_leaves(state.aux_D["spectral"])[0]
     u_new = jax.tree_util.tree_leaves(state2.aux_D["spectral"])[0]
     assert float(jnp.abs(u_old - u_new).max()) > 0
     # another step runs from the returned state
