@@ -3,8 +3,10 @@ from infinite_texture_gans_tpu.ops.grid import (
     patches_to_grid,
     merge_patches_into_image,
     crop_images,
+    crop_image,
     upsample_nearest,
 )
+from infinite_texture_gans_tpu.ops.pallas_conv import conv1x1_chw, conv3x3_chw
 from infinite_texture_gans_tpu.ops.padding import (
     SiteSpec,
     SiteState,
@@ -21,7 +23,10 @@ __all__ = [
     "patches_to_grid",
     "merge_patches_into_image",
     "crop_images",
+    "crop_image",
     "upsample_nearest",
+    "conv3x3_chw",
+    "conv1x1_chw",
     "SiteSpec",
     "SiteState",
     "GridPos",
