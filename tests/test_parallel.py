@@ -79,6 +79,29 @@ def test_canvas_image_sharded_matches_single(gen_and_vars):
     np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_wavefront_canvas_matches_sequential(gen_and_vars):
+    """Wavefront generation (rows pipelined across devices, halo buffers
+    exchanged with ppermute) must reproduce the sequential raster engine."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen, variables = gen_and_vars
+    mesh = make_mesh("data:8")
+    P_res = gen.patch_resolution  # 32
+    out_h, out_w = 7 * P_res, 9 * P_res  # 3 x 4 wavefront steps
+    z = build_z_full(jax.random.key(7), 1, 8, 4, 7, 9)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    out = generate_canvas_wavefront(
+        gen, variables, jax.random.key(0), out_h, out_w, mesh,
+        num_images=1, z_full=z,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+
+
 def test_shard_batch_layout():
     mesh = make_mesh("data:8")
     x = np.zeros((16, 4, 4, 3), np.float32)
