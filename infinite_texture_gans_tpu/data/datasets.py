@@ -14,6 +14,7 @@ regardless of the image size (reference datasets_classes.py:40-44).
 
 from __future__ import annotations
 
+import functools
 import os
 import queue
 import threading
@@ -182,27 +183,40 @@ class DeviceCropSampler:
     Prefetcher for ``single_image`` runs.
     """
 
-    def __init__(self, dataset: "SingleImageDataset", device_put=None):
+    def __init__(self, dataset: "SingleImageDataset", device_put=None, mesh=None):
         import jax
 
-        put = device_put or jax.device_put
+        if mesh is not None:
+            # replicate the tiny source image across the mesh and have the
+            # jitted sampler emit the batch already sharded on its leading
+            # axis — no per-step device-to-device re-shard
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+            self._out_sharding = NamedSharding(mesh, P("data"))
+        else:
+            put = device_put or jax.device_put
+            self._out_sharding = None
         self.img = put(dataset.img)  # (H, W, C) uint8 on device
         self.random_crop = dataset.random_crop
 
     def sample(self, key, batch_size: int):
+        crops, bcast = _device_samplers(self._out_sharding)
         if self.random_crop:
-            return _sample_crops_jit(self.img, key, self.random_crop, batch_size)
-        return _broadcast_norm_jit(self.img, batch_size)
+            return crops(self.img, key, self.random_crop, batch_size)
+        return bcast(self.img, batch_size)
 
 
-def _make_device_samplers():
+def _make_device_samplers(out_sharding=None):
     import functools
 
     import jax
     import jax.numpy as jnp
     from jax import lax
 
-    @functools.partial(jax.jit, static_argnames=("crop", "batch"))
+    jit_kw = {} if out_sharding is None else {"out_shardings": out_sharding}
+
+    @functools.partial(jax.jit, static_argnames=("crop", "batch"), **jit_kw)
     def sample_crops(img, key, crop, batch):
         h, w, c = img.shape
         kh, kw = jax.random.split(key)
@@ -215,7 +229,7 @@ def _make_device_samplers():
         crops = jax.vmap(get)(tops, lefts)
         return crops.astype(jnp.float32) / 127.5 - 1.0
 
-    @functools.partial(jax.jit, static_argnames=("batch",))
+    @functools.partial(jax.jit, static_argnames=("batch",), **jit_kw)
     def broadcast_norm(img, batch):
         x = img.astype(jnp.float32) / 127.5 - 1.0
         return jnp.broadcast_to(x, (batch,) + x.shape)
@@ -223,7 +237,11 @@ def _make_device_samplers():
     return sample_crops, broadcast_norm
 
 
-_sample_crops_jit, _broadcast_norm_jit = _make_device_samplers()
+@functools.lru_cache(maxsize=8)
+def _device_samplers(out_sharding=None):
+    """Jitted samplers per output sharding (cached — per-call jit closures
+    recompile every call; NamedSharding is hashable)."""
+    return _make_device_samplers(out_sharding)
 
 
 class Prefetcher:
@@ -240,21 +258,52 @@ class Prefetcher:
         self.rng = np.random.default_rng(seed)
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.device_put = device_put or jax.device_put
+        self._stop = threading.Event()
         self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when the consumer abandoned iteration
+        (close() / GC) — the worker must never block forever on a full
+        queue."""
+        while not self._stop.is_set():
+            try:
+                self.q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
     def _worker(self):
         for _ in range(self.steps):
+            if self._stop.is_set():
+                return
             batch = self.dataset.sample_batch(self.rng, self.batch_size)
-            self.q.put(self.device_put(batch))
-        self.q.put(None)
+            if not self._put(self.device_put(batch)):
+                return
+        self._put(None)
+
+    def close(self) -> None:
+        """Stop the worker thread (safe to call mid-iteration)."""
+        self._stop.set()
+        try:  # unblock a worker waiting on a full queue
+            while True:
+                self.q.get_nowait()
+        except queue.Empty:
+            pass
+
+    def __del__(self):  # pragma: no cover - GC timing
+        self._stop.set()
 
     def __iter__(self) -> Iterator:
-        while True:
-            item = self.q.get()
-            if item is None:
-                return
-            yield item
+        try:
+            while True:
+                item = self.q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            self.close()
 
 
 def prepare_data(args):

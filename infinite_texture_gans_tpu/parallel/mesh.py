@@ -20,10 +20,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(spec: Optional[str] = None, num_devices: Optional[int] = None) -> Optional[Mesh]:
+def make_mesh(
+    spec: Optional[str] = None,
+    num_devices: Optional[int] = None,
+    device_list: Optional[list] = None,
+) -> Optional[Mesh]:
     """Build a 1-axis data mesh.
 
     spec: 'data:N' (or None). num_devices: fallback count (--num_gpus).
+    device_list: explicit device indices (--gpu_list, reference
+    utils.py:134-145 picks concrete devices the same way).
     Returns None for single-device runs (no sharding needed).
     """
     if spec:
@@ -35,9 +41,19 @@ def make_mesh(spec: Optional[str] = None, num_devices: Optional[int] = None) -> 
         n = num_devices or 1
     if n <= 1:
         return None
-    devices = jax.devices()[:n]
+    all_devices = jax.devices()
+    if device_list:
+        bad = [i for i in device_list if i >= len(all_devices)]
+        if bad:
+            raise ValueError(
+                f"--gpu_list indices {bad} out of range: only "
+                f"{len(all_devices)} devices available"
+            )
+        devices = [all_devices[i] for i in device_list[:n]]
+    else:
+        devices = all_devices[:n]
     if len(devices) < n:
-        raise ValueError(f"requested {n} devices, only {len(jax.devices())} available")
+        raise ValueError(f"requested {n} devices, only {len(devices)} available")
     return Mesh(np.array(devices), ("data",))
 
 

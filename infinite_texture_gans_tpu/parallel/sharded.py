@@ -42,6 +42,9 @@ def shard_images(tree, mesh: Optional[Mesh]):
 
 
 _SHARDED_FWD_CACHE: dict = {}
+_SHARDED_FWD_CACHE_MAX = 16  # bound the per-(gen, mesh) jit cache (each new
+# canvas geometry clones gen; unbounded growth would leak in long-running
+# serving processes)
 
 
 def _sharded_fwd(gen, mesh: Mesh):
@@ -52,6 +55,8 @@ def _sharded_fwd(gen, mesh: Mesh):
     the 1-px halo collective-permutes over ICI itself."""
     key = (gen, mesh)
     if key not in _SHARDED_FWD_CACHE:
+        while len(_SHARDED_FWD_CACHE) >= _SHARDED_FWD_CACHE_MAX:
+            _SHARDED_FWD_CACHE.pop(next(iter(_SHARDED_FWD_CACHE)))
         out_sharding = NamedSharding(mesh, P(None, None, "data", None))
 
         @functools.partial(jax.jit, out_shardings=out_sharding)

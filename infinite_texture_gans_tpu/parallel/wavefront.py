@@ -28,7 +28,15 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+try:  # jax >= 0.8 top-level API; the experimental path is deprecated
+    from jax import shard_map as _shard_map
+
+    def shard_map(f=None, **kw):  # check_rep was renamed check_vma
+        kw["check_vma"] = kw.pop("check_rep", kw.pop("check_vma", True))
+        return _shard_map(f, **kw) if f is not None else _shard_map(**kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from infinite_texture_gans_tpu.ops.padding import (
     GridPos,
@@ -67,6 +75,14 @@ def generate_canvas_wavefront(
             f"wavefront v1 runs one canvas row per device: steps_h={steps_h} "
             f"> mesh size {n_dev}; generate in horizontal bands or use "
             "generate_canvas"
+        )
+    if gw < 3:
+        # Lag-2 is only provably equal to the sequential engine for gw >= 3:
+        # with gw=2 the top-halo read window of column c overlaps column
+        # c+2's later row_write by one pixel.
+        raise ValueError(
+            f"wavefront requires num_patches_w >= 3 (got {gw}); the lag-2 "
+            "schedule's halo read window would race the row buffer"
         )
 
     if z_full is None:

@@ -84,11 +84,15 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
     return out
 
 
-def restore_train_state(state, ckpt: Dict[str, Any]):
+def restore_train_state(state, ckpt: Dict[str, Any], steps_per_epoch: int = 0):
     """Restore a full TrainState from a framework checkpoint (true resume —
     a capability the reference lacks, SURVEY.md §5). ``state`` is a freshly
     initialised TrainState used as the structure template; stored state-dict
-    trees are mapped back onto it (tuple-structured optax states included)."""
+    trees are mapped back onto it (tuple-structured optax states included).
+    The step counter is rebuilt as epoch * steps_per_epoch so step-dependent
+    logic (LR schedules) continues where it left off."""
+    import jax.numpy as jnp
+
     from infinite_texture_gans_tpu.train.train_step import TrainState
 
     g_vars = dict(ckpt["netG_variables"])
@@ -103,7 +107,7 @@ def restore_train_state(state, ckpt: Dict[str, Any]):
     if state.ema is not None and ckpt.get("ema"):
         ema = serialization.from_state_dict(state.ema, ckpt["ema"])
     epoch = int(ckpt["meta"].get("epoch", 0))
-    steps_done = state.step  # caller sets true step count if it matters
+    steps_done = jnp.asarray(epoch * steps_per_epoch, state.step.dtype)
     return TrainState(
         params_G=params_G,
         aux_G=aux_G,

@@ -42,10 +42,10 @@ from infinite_texture_gans_tpu.train.train_step import (
 
 
 def prepare_device(args):
-    """Device selection (reference utils.py:134-145). On TPU the analog of
-    the reference's CUDA_VISIBLE_DEVICES / cuda:<n> logic is the mesh
-    (``make_mesh``); this returns the default device for single-device runs
-    and exists for API parity."""
+    """Device selection (reference utils.py:134-145): --dev_num picks the
+    primary device for single-device runs (the analog of the reference's
+    CUDA_VISIBLE_DEVICES / cuda:<n>); multi-device layouts map --num_gpus /
+    --gpu_list onto the mesh (``make_mesh``)."""
     import jax
 
     devices = jax.devices()
@@ -91,6 +91,12 @@ def param_count(tree) -> int:
 
 
 def train(args) -> None:
+    device = prepare_device(args)
+    if getattr(args, "num_workers", 0):
+        print(
+            "Warning: --num_workers is ignored — single-image batches are "
+            "sampled on device and the host prefetcher is a single thread"
+        )
     seed = prepare_seed(args)
     print(args)
 
@@ -109,10 +115,15 @@ def train(args) -> None:
     print("# Params. G: ", param_count(state.params_G))
     print("# Params. D: ", param_count(state.params_D))
 
-    mesh = make_mesh(getattr(args, "mesh", None), args.num_gpus)
+    mesh = make_mesh(
+        getattr(args, "mesh", None), args.num_gpus, getattr(args, "gpu_list", None)
+    )
     if mesh is not None:
         print(f"mesh: {mesh}")
         state = replicate(state, mesh)
+    elif device is not jax.devices()[0]:
+        # --dev_num selected a non-default device: pin state + data there
+        state = jax.device_put(state, device)
 
     train_step = make_train_step(
         netG,
@@ -133,7 +144,7 @@ def train(args) -> None:
     start_epoch = 0
     if getattr(args, "resume", None):
         ckpt = load_checkpoint(args.resume)
-        state, start_epoch = restore_train_state(state, ckpt)
+        state, start_epoch = restore_train_state(state, ckpt, steps_per_epoch)
         G_losses = list(ckpt["meta"].get("Gloss", []))
         D_losses = list(ckpt["meta"].get("Dloss", []))
         if mesh is not None:
@@ -141,9 +152,16 @@ def train(args) -> None:
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
     # single-image runs sample their crops ON DEVICE (the image is ~1MB;
-    # shipping 64x192^2 crops per step would be ~28MB of H2D each step)
+    # shipping 64x192^2 crops per step would be ~28MB of H2D each step);
+    # under a mesh the sampler emits batches already sharded on their
+    # leading axis (no per-step device-to-device re-shard)
     device_sampler = (
-        DeviceCropSampler(dataset, device_put=(lambda x: shard_batch(x, None)))
+        DeviceCropSampler(
+            dataset,
+            mesh=mesh,
+            device_put=(None if device is jax.devices()[0] else
+                        (lambda x: jax.device_put(x, device))),
+        )
         if isinstance(dataset, SingleImageDataset)
         else None
     )
@@ -155,9 +173,7 @@ def train(args) -> None:
         if device_sampler is not None:
             crop_keys = jax.random.split(data_key, steps_per_epoch)
             prefetcher = (
-                shard_batch(device_sampler.sample(crop_keys[i], args.batch_size), mesh)
-                if mesh is not None
-                else device_sampler.sample(crop_keys[i], args.batch_size)
+                device_sampler.sample(crop_keys[i], args.batch_size)
                 for i in range(steps_per_epoch)
             )
         else:
