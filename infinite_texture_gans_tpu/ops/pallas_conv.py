@@ -11,22 +11,39 @@ place we control physical layout: these kernels keep W (lane-dense, e.g.
 384 = 3x128) as the minor dimension end to end and fold the whole BN-apply +
 activation + local-padding + conv chain into one VMEM pass.
 
-Layout contract: x (N, C, H, W) with W a multiple of 128 preferred; H % BH
-== 0 (wrapper picks BH). The 3x3 conv is computed as ONE MXU matmul per
-block: the nine shifted taps are stacked on the sublane axis -> (9C, BH*W),
-then (Co, 9C) @ (9C, BH*W). Column halos are lane shifts built in-kernel.
-Row halos arrive as two extra blocked inputs (top/bottom neighbor rows,
-extracted by cheap strided slices on the dense array in XLA) — Mosaic cannot
-DMA sublane-unaligned slices of tiled HBM memrefs, so no manual DMA is used.
+Kernel scheme (v2, the "column-partial transform"): round-1 kernels built
+the classic 9-tap stacked matrix (9C, BH·W) — 11 slab-sized VPU copies per
+block, which device traces showed to be the bottleneck (the M=Co matmul
+itself is cheap: MXU cycles ~ ceil(K/128)·ceil(M/128)·N, so small M is
+free). v2 stacks only the THREE ROW OFFSETS of the slab once, S (3C, BH·W),
+and computes all three column partials in ONE matmul
 
-Backward (custom_vjp):
-  dx  = same kernel structure with spatially-flipped, C<->Co-transposed
-        weights in zero-halo mode (transposed conv interior), plus cheap XLA
-        edge-strip corrections that fold halo gradients back into border
-        pixels for 'replicate' outer padding;
-  dW  = second Pallas kernel accumulating (Co, 9C) += g·stacked(x)^T across
-        all grid blocks;
-  db, d(scale), d(shift) = XLA reductions on lane-dense arrays.
+    P = Wp @ S,   Wp[(dx,co),(dy,c)] = K[dy,dx,c,co]   ->  (3Co, BH·W)
+
+then combines them with two cheap lane shifts on the (small-Co) OUTPUT:
+
+    y[:, :, j] = P0[:, :, j-1] + P1[:, :, j] + P2[:, :, j+1]
+
+Column halos become shift-FILL rules: replicate left halo == P0's own first
+column, zero halo == zero fill. This cuts VPU stack traffic ~3x and halves
+MXU passes (K = 3C instead of 9C).
+
+Layout contract: x (N, C, H, W) with W a multiple of 128 preferred; H % BH
+== 0 (wrapper picks BH). Row halos arrive as two extra blocked inputs
+(top/bottom neighbor rows, extracted by cheap strided slices on the dense
+array in XLA) — Mosaic cannot DMA sublane-unaligned slices of tiled HBM
+memrefs, so no manual DMA is used.
+
+Backward (custom_vjp), both fully fused (nothing left to XLA but the
+per-channel Adam-sized chain):
+  dx  = ONE kernel: transposed-conv partials of g, replicate edge-gradient
+        folds expressed as the same shift-fill rules (plus two tiny
+        (3C,Co)@(Co,W) row-fold matmuls for the canvas top/bottom rows),
+        then act'-mask, d(scale)/d(shift) per-channel f32 accumulators and
+        the dx = dpre·scale chain — in-kernel;
+  dW  = ONE kernel: all nine taps as a single (3Co,N)@(N,3C) accumulated
+        matmul (column-shifted g against the row-stacked normed slab), plus
+        a db accumulator.
 
 Reference semantics being fused (SURVEY.md §2.1): models/layers.py:8-36
 conv2d_lp + the norm/act that precede it in every ResBlockGenerator branch
@@ -44,18 +61,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_bh(h: int, w: int, c: int, dtype_bytes: int) -> int:
-    """Rows per block: target a few MB of VMEM for the stacked tap matrix
-    (9C x BH*W). Must divide H and be a multiple of 8 (Mosaic requires the
-    second-minor block dim divisible by 8 or equal to the array dim)."""
-    budget = 4 * 1024 * 1024
-    want = max(8, budget // max(1, 9 * c * w * dtype_bytes))
+def _pick_bh(h: int, w: int, c_rows: int, dtype_bytes: int) -> int:
+    """Rows per block: target a few MB of VMEM for the per-block working set
+    (``c_rows`` ~ total sublane rows live at once: slab + stack + partials).
+    Must divide H and be a multiple of 8 (Mosaic requires the second-minor
+    block dim divisible by 8 or equal to the array dim)."""
+    budget = 6 * 1024 * 1024
+    want = max(8, budget // max(1, c_rows * w * dtype_bytes))
     cands = [d for d in range(8, h + 1, 8) if h % d == 0]
     if not cands:
         return h  # whole-H block (equal-dim rule)
     fit = [d for d in cands if d <= want]
     return fit[-1] if fit else cands[0]
-
 
 
 def _pad_w_lanes(x: jnp.ndarray, fill: str) -> jnp.ndarray:
@@ -83,11 +100,10 @@ def _halo_rows(x: jnp.ndarray, bh: int):
     return jnp.swapaxes(tops, 1, 2), jnp.swapaxes(bots, 1, 2)
 
 
-def _prenorm_and_shifts(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh,
-                        w_true):
+def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true):
     """Assemble the (C, BH+2, W) slab from the block + halo rows, apply the
-    fused scale/shift (+ReLU), fix halo values for zero outer padding, and
-    return the three column-shifted variants. top/bot arrive as (C, W)."""
+    fused scale/shift (+ReLU) and fix halo values for zero outer padding.
+    top/bot arrive as (C, W)."""
     x = jnp.concatenate([top[:, None, :], xb, bot[:, None, :]], axis=1)  # (C, BH+2, W)
     x = x * sc_ref[:, :, :] + sh_ref[:, :, :]  # scale/shift arrive (C, 1, W)
     if relu:
@@ -103,51 +119,68 @@ def _prenorm_and_shifts(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, b
             # POST-norm (they are the true right edge's halo source)
             col = lax.broadcasted_iota(jnp.int32, (1, 1, x.shape[2]), 2)
             x = jnp.where(col >= w_true, 0.0, x).astype(x.dtype)
-
-    first_col = x[:, :, :1]
-    last_col = x[:, :, -1:]
-    if zeros_mode:
-        first_col = jnp.zeros_like(first_col)
-        last_col = jnp.zeros_like(last_col)
-    left = jnp.concatenate([first_col, x[:, :, :-1]], axis=2)   # tap dx=0 (w-1)
-    right = jnp.concatenate([x[:, :, 1:], last_col], axis=2)    # tap dx=2 (w+1)
-    return left, x, right
+    return x
 
 
-def _prenorm_and_stack(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh,
-                       w_true):
-    """(9C, BH*W) stacked tap matrix — requires W % 128 == 0 for the
-    in-kernel lane-merge reshape (Mosaic restriction)."""
-    left, x, right = _prenorm_and_shifts(
-        xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true
+def _rows_stack(slab, bh):
+    """(C, BH+2, W) slab -> (3C, BH*W): the three row offsets stacked on the
+    sublane axis (dy major, channel minor). Requires W % 128 == 0 for the
+    lane-merge reshape (Mosaic restriction; the wrapper lane-pads)."""
+    c = slab.shape[0]
+    w = slab.shape[2]
+    return jnp.concatenate(
+        [slab[:, dy : dy + bh, :].reshape(c, bh * w) for dy in range(3)], axis=0
     )
-    c = x.shape[0]
-    w = x.shape[2]
-    parts = []
-    for dy in range(3):
-        for sh_x in (left, x, right):
-            parts.append(sh_x[:, dy : dy + bh, :].reshape(c, bh * w))
-    return jnp.concatenate(parts, axis=0)  # (9C, BH*W)
 
 
-def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int):
+def _shift_r(a, fill):
+    """a[..., j-1] with ``fill`` (shape a[..., :1]) at j=0."""
+    return jnp.concatenate([fill, a[..., :-1]], axis=-1)
+
+
+def _shift_l(a, fill):
+    """a[..., j+1] with ``fill`` (shape a[..., -1:]) at j=W-1."""
+    return jnp.concatenate([a[..., 1:], fill], axis=-1)
+
+
+def _combine_partials(p, co, bh, w, zeros_mode, w_true):
+    """(3Co, BH*W) f32 partials -> combined (Co, BH, W) with column-halo
+    shift fills. Replicate halo: left fill = P0 col 0, right fill = P2 col
+    W-1 (only meaningful when w_true == W; for lane-padded widths the
+    wrapper's edge-padding already placed the correct halo in column
+    w_true)."""
+    p0 = p[0:co].reshape(co, bh, w)
+    p1 = p[co : 2 * co].reshape(co, bh, w)
+    p2 = p[2 * co :].reshape(co, bh, w)
+    if zeros_mode:
+        fill_l = jnp.zeros_like(p0[:, :, :1])
+        fill_r = jnp.zeros_like(p2[:, :, -1:])
+    else:
+        fill_l = p0[:, :, :1]
+        fill_r = p2[:, :, -1:] if w_true == w else jnp.zeros_like(p2[:, :, -1:])
+    return _shift_r(p0, fill_l) + p1 + _shift_l(p2, fill_r)
+
+
+def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int):
     """Forward kernel factory. Grid (N, H/BH). Requires W % 128 == 0 (the
     wrapper lane-pads other widths; ``w_true`` is the unpadded width)."""
 
-    def kernel(x_ref, top_ref, bot_ref, w9_ref, b_ref, sc_ref, sh_ref, y_ref):
+    def kernel(x_ref, top_ref, bot_ref, wp_ref, b_ref, sc_ref, sh_ref, y_ref):
         t = pl.program_id(1)
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
-        stacked = _prenorm_and_stack(
+        slab = _norm_slab(
             x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
             relu, zeros_mode, t, nt, bh, w_true,
         )
-        y = lax.dot_general(
-            w9_ref[:, :], stacked, (((1,), (0,)), ((), ())),
+        s = _rows_stack(slab, bh)  # (3C, BH*W)
+        p = lax.dot_general(
+            wp_ref[:, :], s, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        y = y + b_ref[:, :]
-        y_ref[0, :, :, :] = y.reshape(-1, bh, w).astype(y_ref.dtype)
+        )  # (3Co, BH*W)
+        y = _combine_partials(p, co, bh, w, zeros_mode, w_true)
+        y = (y.reshape(co, bh * w) + b_ref[:, :]).reshape(co, bh, w)
+        y_ref[0, :, :, :] = y.astype(y_ref.dtype)
 
     return kernel
 
@@ -157,17 +190,17 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("relu", "outer_padding"))
-def _conv3x3_chw_fwd(x, w9, b, scale, shift, *, relu: bool, outer_padding: str):
+def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str):
     w_true = x.shape[3]
     x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
     if x.shape[3] != w_true and scale.shape[-1] == w_true:
         scale = _pad_w_lanes(scale, "edge")
         shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
-    co = w9.shape[0]
-    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    co = wp.shape[0] // 3
+    bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    kernel = _conv_kernel(relu, outer_padding == "constant", bh, w_true)
+    kernel = _conv_kernel(relu, outer_padding == "constant", bh, w_true, co)
     return pl.pallas_call(
         kernel,
         grid=(n, h // bh),
@@ -175,7 +208,7 @@ def _conv3x3_chw_fwd(x, w9, b, scale, shift, *, relu: bool, outer_padding: str):
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 9 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -185,38 +218,217 @@ def _conv3x3_chw_fwd(x, w9, b, scale, shift, *, relu: bool, outer_padding: str):
         ),
         out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
         interpret=_interpret(),
-    )(x, tops, bots, w9, b, scale, shift)[..., :w_true]
+    )(x, tops, bots, wp, b, scale, shift)[..., :w_true]
 
 
-def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int):
-    """dW kernel: (Co, 9C) += g_block (Co, BH*W) @ stacked(x)^T, accumulated
-    across every grid block (TPU grid is sequential; the output block has a
-    constant index so it lives in VMEM for the whole grid)."""
+# --------------------------------------------------------------------------
+# Fused backward: dx (+ dscale, dshift) in one kernel.
 
-    def kernel(x_ref, top_ref, bot_ref, g_ref, sc_ref, sh_ref, dw_ref):
+
+def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: int):
+    """Grid (N, H/BH). Inputs: g block + g halo rows (zeros at canvas
+    borders), x block (for the act mask and the per-channel accumulators),
+    packed flipped-transposed weights WpT (3C, 3Co), scale/shift. Outputs:
+    dx block, dscale (C,1) f32 acc, dshift (C,1) f32 acc.
+
+    Implements the full replicate edge-gradient fold of the reference's
+    outer padding: interior = transposed conv; left/right column folds via
+    the shift fills (or a masked add at the true right edge when the width
+    is lane-padded); canvas top/bottom row folds via two small matmuls on
+    the g edge rows, active only in the first/last grid block."""
+
+    def kernel(g_ref, gtop_ref, gbot_ref, x_ref, wpt_ref, sc_ref, sh_ref,
+               dx_ref, dsc_ref, dsh_ref):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        w = g_ref.shape[3]
+        gb = g_ref[0]  # (Co, BH, W)
+        top = gtop_ref[0, 0]  # (Co, W)
+        bot = gbot_ref[0, 0]
+        # gradient slab: zero halo rows at the canvas borders (gradients do
+        # not flow in from outside the canvas, any padding mode)
+        top = jnp.where(t == 0, 0.0, top).astype(top.dtype)
+        bot = jnp.where(t == nt - 1, 0.0, bot).astype(bot.dtype)
+        slab = jnp.concatenate([top[:, None, :], gb, bot[:, None, :]], axis=1)
+        sg = _rows_stack(slab, bh)  # (3Co, BH*W)
+        q = lax.dot_general(
+            wpt_ref[:, :], sg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3C, BH*W)
+        q0 = q[0:c].reshape(c, bh, w)
+        q1 = q[c : 2 * c].reshape(c, bh, w)
+        q2 = q[2 * c :].reshape(c, bh, w)
+        if zeros_mode:
+            fill_l = jnp.zeros_like(q0[:, :, :1])
+            fill_r = jnp.zeros_like(q2[:, :, -1:])
+        else:
+            # left fold: da[:, :, 0] += Q2 col 0 — rides the shift fill
+            fill_l = q2[:, :, :1]
+            fill_r = q0[:, :, -1:] if w_true == w else jnp.zeros_like(q2[:, :, -1:])
+        da = _shift_r(q0, fill_l) + q1 + _shift_l(q2, fill_r)
+        col = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        if not zeros_mode and w_true != w:
+            # right fold at the true edge (lane-padded width)
+            da = da + jnp.where(col == w_true - 1, q0, 0.0)
+
+        if not zeros_mode:
+            # canvas top/bottom row folds: da[0,:] += sum_dx' wT[2,dx'] ⊛ g[0,:]
+            # (and symmetric at the bottom with wT[0,dx']), with the corner
+            # terms riding the same column-fill rules.
+            row = lax.broadcasted_iota(jnp.int32, (1, bh, 1), 1)
+
+            def row_fold(wcols, grow):
+                tt = lax.dot_general(
+                    wcols, grow, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3C, W)
+                # 3-D form: 2-D lane concats of sublane-offset slices are
+                # unsupported by Mosaic ("offset mismatch on non-concat dim")
+                t0 = tt[0:c].reshape(c, 1, w)
+                t1 = tt[c : 2 * c].reshape(c, 1, w)
+                t2 = tt[2 * c :].reshape(c, 1, w)
+                f_l = t2[:, :, :1]
+                f_r = t0[:, :, -1:] if w_true == w else jnp.zeros_like(t2[:, :, -1:])
+                fr = _shift_r(t0, f_l) + t1 + _shift_l(t2, f_r)
+                if w_true != w:
+                    fr = fr + jnp.where(col == w_true - 1, t0, 0.0)
+                return fr  # (C, 1, W)
+
+            fold_top = row_fold(wpt_ref[:, 2 * co : 3 * co], slab[:, 1, :])
+            fold_bot = row_fold(wpt_ref[:, 0:co], slab[:, bh, :])
+            da = (
+                da
+                + jnp.where(jnp.logical_and(row == 0, t == 0), fold_top, 0.0)
+                + jnp.where(jnp.logical_and(row == bh - 1, t == nt - 1), fold_bot, 0.0)
+            )
+
+        if w_true != w:
+            # keep lane-padded columns out of dx and the accumulators
+            da = jnp.where(col >= w_true, 0.0, da)
+
+        xb = x_ref[0]  # (C, BH, W)
+        if relu:
+            pre = xb * sc_ref[:, :, :] + sh_ref[:, :, :]
+            # compare in f32: bf16 cmpf is unsupported on this target
+            da = da * (pre.astype(jnp.float32) > 0)
+        dx_ref[0, :, :, :] = (da * sc_ref[:, :, :]).astype(dx_ref.dtype)
+        # keep reductions 2-D end to end (1-D<->2-D reshapes crash Mosaic's
+        # layout inference)
+        dsc = jnp.sum((da * xb).reshape(c, bh * w), axis=1, keepdims=True)
+        dsh = jnp.sum(da.reshape(c, bh * w), axis=1, keepdims=True)
+
+        first = jnp.logical_and(n == 0, t == 0)
+
+        @pl.when(first)
+        def _():
+            dsc_ref[:, :] = dsc
+            dsh_ref[:, :] = dsh
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dsc_ref[:, :] = dsc_ref[:, :] + dsc
+            dsh_ref[:, :] = dsh_ref[:, :] + dsh
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "outer_padding", "c"))
+def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str, c: int):
+    w_true = x.shape[3]
+    zeros_mode = outer_padding == "constant"
+    x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
+    g = _pad_w_lanes(g, "zeros")
+    if x.shape[3] != w_true and scale.shape[-1] == w_true:
+        scale = _pad_w_lanes(scale, "edge")
+        shift = _pad_w_lanes(shift, "edge")
+    n, co, h, w = g.shape
+    bh = _pick_bh(h, w, 2 * c + 6 * co + 6 * c, x.dtype.itemsize)
+    gtops, gbots = _halo_rows(g, bh)
+    kernel = _dx_kernel(relu, zeros_mode, bh, w_true, c, co)
+    dx, dsc, dsh = pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, co, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, co, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 3 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c, h, w), x.dtype),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(g, gtops, gbots, x, wpt, scale, shift)
+    return dx[..., :w_true], dsc[:, 0], dsh[:, 0]
+
+
+# --------------------------------------------------------------------------
+# Fused backward: dW (+ db) in one kernel.
+
+
+def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: int):
+    """dW kernel: (3Co, 3C) += Gc @ Sx^T accumulated across every grid block
+    (TPU grid is sequential; the output block has a constant index so it
+    lives in VMEM for the whole grid). Gc = column-shifted g with the
+    replicate right/left halo terms folded into its edge columns; Sx = the
+    row-stacked NORMED slab (same normalization as the forward)."""
+
+    def kernel(x_ref, top_ref, bot_ref, g_ref, sc_ref, sh_ref, dw_ref, db_ref):
         n = pl.program_id(0)
         t = pl.program_id(1)
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
-        stacked = _prenorm_and_stack(
+        slab = _norm_slab(
             x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
             relu, zeros_mode, t, nt, bh, w_true,
         )
-        g = g_ref[0, :, :, :].reshape(-1, bh * w)  # (Co, BH*W)
+        sx = _rows_stack(slab, bh)  # (3C, BH*W)
+        gb = g_ref[0]  # (Co, BH, W)
+        zf = jnp.zeros_like(gb[:, :, :1])
+        gl = _shift_l(gb, zf)  # tap dx=0 pairs a[.., j-1] -> shift g left
+        gr = _shift_r(gb, zf)  # tap dx=2 pairs a[.., j+1] -> shift g right
+        if not zeros_mode:
+            col = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+            # left halo a[.., -1] == a[.., 0]: fold g col 0 into Gc_0 col 0
+            gl = gl + jnp.where(col == 0, gb, 0.0).astype(gl.dtype)
+            if w_true == w:
+                # right halo a[.., W] == a[.., W-1]: fold g's last column.
+                # (When lane-padded, shift_r already placed g[w_true-1] in
+                # column w_true where the slab carries the edge value.)
+                gr = gr + jnp.where(col == w - 1, gb, 0.0).astype(gr.dtype)
+        gc = jnp.concatenate(
+            [gl.reshape(co, bh * w), gb.reshape(co, bh * w), gr.reshape(co, bh * w)],
+            axis=0,
+        )  # (3Co, BH*W)
         acc = lax.dot_general(
-            g, stacked, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (Co, 9C)
+            gc, sx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (3Co, 3C)
+        db = jnp.sum(
+            gb.reshape(co, bh * w).astype(jnp.float32), axis=1, keepdims=True
+        )
 
         first = jnp.logical_and(n == 0, t == 0)
 
         @pl.when(first)
         def _():
             dw_ref[:, :] = acc
+            db_ref[:, :] = db
 
         @pl.when(jnp.logical_not(first))
         def _():
             dw_ref[:, :] = dw_ref[:, :] + acc
+            db_ref[:, :] = db_ref[:, :] + db
 
     return kernel
 
@@ -231,10 +443,10 @@ def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str, co: i
             scale = _pad_w_lanes(scale, "edge")
             shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
-    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    bh = _pick_bh(h, w, 6 * c + 5 * co, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    kernel = _dw_kernel(relu, outer_padding == "constant", bh, w_true)
-    return pl.pallas_call(
+    kernel = _dw_kernel(relu, outer_padding == "constant", bh, w_true, c, co)
+    dw, db = pl.pallas_call(
         kernel,
         grid=(n, h // bh),
         in_specs=[
@@ -245,17 +457,30 @@ def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str, co: i
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((co, 9 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((co, 9 * c), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((3 * co, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ),
         interpret=_interpret(),
     )(x, tops, bots, g, scale, shift)
+    return dw, db[:, 0]
 
 
-def _pack_w9(w: jnp.ndarray) -> jnp.ndarray:
-    """(3,3,C,Co) kernel -> (Co, 9C) matching the kernel's tap stacking order
-    (dy major, dx minor, then channel)."""
+def _pack_w_partial(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,Co) kernel -> (3Co, 3C): rows (dx major, co minor), columns
+    (dy major, c minor) — the forward partial-matmul layout."""
     co = w.shape[-1]
-    return jnp.transpose(w.reshape(-1, co), (1, 0))  # (Co, 9C)
+    c = w.shape[-2]
+    return jnp.transpose(w, (1, 3, 0, 2)).reshape(3 * co, 3 * c)
+
+
+def _unpack_dw_partial(acc: jnp.ndarray, c: int, co: int) -> jnp.ndarray:
+    """(3Co, 3C) accumulated taps -> (3,3,C,Co): acc[(dx,co),(dy,c)]."""
+    return jnp.transpose(acc.reshape(3, co, 3, c), (2, 0, 3, 1))
 
 
 def _flip_transpose_w(w: jnp.ndarray) -> jnp.ndarray:
@@ -276,14 +501,18 @@ def conv3x3_chw(x, w, b, scale, shift, relu: bool = True,
     return _fwd_impl(x, w, b, scale, shift, relu, outer_padding)
 
 
+def _bcast_cw(v, c, w_):
+    return jnp.broadcast_to(v.reshape(c, 1, 1), (c, 1, w_))
+
+
 def _fwd_impl(x, w, b, scale, shift, relu, outer_padding):
     c, co = w.shape[2], w.shape[3]
-    w9 = _pack_w9(w).astype(x.dtype)
+    wp = _pack_w_partial(w).astype(x.dtype)
     w_ = x.shape[3]
-    sc = jnp.broadcast_to(scale.reshape(c, 1, 1), (c, 1, w_)).astype(x.dtype)
-    sh = jnp.broadcast_to(shift.reshape(c, 1, 1), (c, 1, w_)).astype(x.dtype)
+    sc = _bcast_cw(scale, c, w_).astype(x.dtype)
+    sh = _bcast_cw(shift, c, w_).astype(x.dtype)
     return _conv3x3_chw_fwd(
-        x, w9, b.reshape(co, 1).astype(x.dtype), sc, sh,
+        x, wp, b.reshape(co, 1).astype(x.dtype), sc, sh,
         relu=relu, outer_padding=outer_padding,
     )
 
@@ -293,93 +522,21 @@ def _fwd_rule(x, w, b, scale, shift, relu, outer_padding):
     return y, (x, w, b, scale, shift)
 
 
-def _edge_strip_corrections(g, w, zeros_mode: bool):
-    """XLA-side fold of halo gradients into border pixels for 'replicate'
-    forward padding. g: (N, Co, H, W); returns additive border updates.
-
-    dxp[c,i,0]   = sum_{dy,o} K[dy,0,c,o] g[o,i-dy,0]   (left halo column)
-    and symmetric for right/top/bottom; corners single-tap."""
-    if zeros_mode:
-        return None
-    n, co, h, wdt = g.shape
-    k = w  # (3,3,C,Co)
-
-    def col_fold(gcol, ktap):  # gcol (N, Co, H), ktap (3, C, Co)
-        gpad = jnp.pad(gcol, ((0, 0), (0, 0), (1, 1)))
-        outs = 0
-        for dy in range(3):
-            seg = lax.dynamic_slice_in_dim(gpad, 2 - dy, h, axis=2)
-            outs = outs + jnp.einsum("co,noh->nch", ktap[dy], seg)
-        return outs  # (N, C, H)
-
-    left = col_fold(g[:, :, :, 0], k[:, 0])      # add to x[:, :, :, 0]
-    right = col_fold(g[:, :, :, -1], k[:, 2])    # add to x[:, :, :, -1]
-
-    def row_fold(grow, ktap):  # grow (N, Co, W), ktap (3 over dx) (C, Co)
-        gpad = jnp.pad(grow, ((0, 0), (0, 0), (1, 1)))
-        outs = 0
-        for dx in range(3):
-            seg = lax.dynamic_slice_in_dim(gpad, 2 - dx, wdt, axis=2)
-            outs = outs + jnp.einsum("co,now->ncw", ktap[dx], seg)
-        return outs  # (N, C, W)
-
-    top = row_fold(g[:, :, 0, :], k[0])          # add to x[:, :, 0, :]
-    bottom = row_fold(g[:, :, -1, :], k[2])      # add to x[:, :, -1, :]
-
-    # corners: xp[0,0] = x[0,0] etc. (replicate corner), single tap each
-    c00 = jnp.einsum("co,no->nc", k[0, 0], g[:, :, 0, 0])
-    c01 = jnp.einsum("co,no->nc", k[0, 2], g[:, :, 0, -1])
-    c10 = jnp.einsum("co,no->nc", k[2, 0], g[:, :, -1, 0])
-    c11 = jnp.einsum("co,no->nc", k[2, 2], g[:, :, -1, -1])
-    return left, right, top, bottom, (c00, c01, c10, c11)
-
-
 def _bwd_rule(relu, outer_padding, res, g):
     x, w, b, scale, shift = res
     c, co = w.shape[2], w.shape[3]
-    zeros_mode = outer_padding == "constant"
+    w_ = x.shape[3]
+    sc = _bcast_cw(scale, c, w_).astype(x.dtype)
+    sh = _bcast_cw(shift, c, w_).astype(x.dtype)
 
-    # grad wrt the PRE-pad activation a = act(scale*x + shift):
-    # interior = transposed conv (zero-halo corr with flipped weights)
-    wT = _flip_transpose_w(w)  # (3,3,Co,C)
-    w_ = g.shape[3]
-    da = _conv3x3_chw_fwd(
-        g, _pack_w9(wT).astype(g.dtype),
-        jnp.zeros((c, 1), g.dtype),
-        jnp.ones((co, 1, w_), g.dtype), jnp.zeros((co, 1, w_), g.dtype),
-        relu=False, outer_padding="constant",
+    wpt = _pack_w_partial(_flip_transpose_w(w)).astype(g.dtype)  # (3C, 3Co)
+    dx, dscale, dshift = _conv3x3_chw_dx(
+        x, g, wpt, sc, sh, relu=relu, outer_padding=outer_padding, c=c
     )
-    strips = _edge_strip_corrections(g, w.astype(jnp.float32), zeros_mode)
-    if strips is not None:
-        left, right, top, bottom, corners = strips
-        da = da.at[:, :, :, 0].add(left.astype(da.dtype))
-        da = da.at[:, :, :, -1].add(right.astype(da.dtype))
-        da = da.at[:, :, 0, :].add(top.astype(da.dtype))
-        da = da.at[:, :, -1, :].add(bottom.astype(da.dtype))
-        c00, c01, c10, c11 = corners
-        da = da.at[:, :, 0, 0].add(c00.astype(da.dtype))
-        da = da.at[:, :, 0, -1].add(c01.astype(da.dtype))
-        da = da.at[:, :, -1, 0].add(c10.astype(da.dtype))
-        da = da.at[:, :, -1, -1].add(c11.astype(da.dtype))
-
-    # chain through act + affine (recomputed, lane-dense = cheap)
-    pre = x * scale[None, :, None, None] + shift[None, :, None, None]
-    if relu:
-        da = da * (pre > 0).astype(da.dtype)
-    dx = da * scale[None, :, None, None].astype(da.dtype)
-    dscale = jnp.sum(da.astype(jnp.float32) * x.astype(jnp.float32), axis=(0, 2, 3))
-    dshift = jnp.sum(da.astype(jnp.float32), axis=(0, 2, 3))
-
-    # dW via the accumulating Pallas kernel, db via lane-dense reduce
-    dw9 = _conv3x3_chw_dw(
-        x, g,
-        jnp.broadcast_to(scale.reshape(c, 1, 1), (c, 1, w_)).astype(x.dtype),
-        jnp.broadcast_to(shift.reshape(c, 1, 1), (c, 1, w_)).astype(x.dtype),
-        relu=relu, outer_padding=outer_padding, co=co,
-    )  # (Co, 9C)
-    dw = jnp.transpose(dw9, (1, 0)).reshape(3, 3, c, co).astype(w.dtype)
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3))
-
+    dw_acc, db = _conv3x3_chw_dw(
+        x, g, sc, sh, relu=relu, outer_padding=outer_padding, co=co
+    )
+    dw = _unpack_dw_partial(dw_acc, c, co).astype(w.dtype)
     return (dx.astype(x.dtype), dw, db.astype(b.dtype),
             dscale.astype(scale.dtype), dshift.astype(shift.dtype))
 
@@ -411,7 +568,7 @@ def _conv1x1_chw_fwd(x, wm, b):
     x = _pad_w_lanes(x, "zeros")
     n, c, h, w = x.shape
     co = wm.shape[0]
-    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    bh = _pick_bh(h, w, 2 * c + 2 * co, x.dtype.itemsize)
     return pl.pallas_call(
         _conv1x1_kernel(bh),
         grid=(n, h // bh),
@@ -457,7 +614,7 @@ def _conv1x1_chw_dw(x, g, *, co: int):
         x = _pad_w_lanes(x, "zeros")
         g = _pad_w_lanes(g, "zeros")
     n, c, h, w = x.shape
-    bh = _pick_bh(h, w, c, x.dtype.itemsize)
+    bh = _pick_bh(h, w, 2 * c + 2 * co, x.dtype.itemsize)
     return pl.pallas_call(
         _dw1x1_kernel(bh),
         grid=(n, h // bh),

@@ -4,23 +4,30 @@ exchange.
 The raster dependency of patch-by-patch generation (SURVEY.md §3.2: sub-image
 (r, c) needs the halo cache written by (r, c-1) and by row r-1) admits
 anti-diagonal ("wavefront") parallelism — the maximum legal parallelism of
-the reference's protocol. Here each mesh device owns one canvas row of
-sub-images; at global step t device d computes its column c = t - 2d (the
-lag-2 wavefront: (r+1, c) needs (r, c+1) because the row buffer it reads one
-pixel past the column above). After every step each device ``ppermute``s its
+the reference's protocol. Each mesh device owns one canvas row of sub-images;
+at global step t device d computes its column c = t - 2d (the lag-2
+wavefront: (r+1, c) needs (r, c+1) because the row buffer it reads one pixel
+past the column above). After every step each device ``ppermute``s its
 accumulated bottom-row halo buffer to the device below — the explicit
 ICI-neighbor halo exchange that replaces the reference's CPU-side halo
 accumulation (models/layers.py:117-132). Within a device everything is the
 same jitted generator step as the single-chip engine.
 
-v1 scope: BN-norm generators (no SSM maps), canvas rows <= mesh size (one
-row per device). Throughput: rows complete in a pipeline — T = steps_w +
-2*(steps_h-1) steps total instead of steps_w*steps_h sequential steps.
+v2 (this file): canvases TALLER than the mesh run as **bands** — rows are
+assigned cyclically (device d handles global rows d, d+n_dev, ...), each band
+is one lag-2 wavefront pass, and the finalized bottom-row buffer of a band's
+last device hands off to device 0 of the next band between passes. SSM map
+strips are supported, and each device receives only ITS latent / map row
+strips (inputs sharded on the mesh axis — no full-canvas replication). A
+61x61-patch canvas on 8 devices runs in 8 band passes of (61 + 14) steps
+instead of 3721 sequential steps. All bands share ONE compiled executable
+(the band index is a traced scalar).
 """
 
 from __future__ import annotations
 
 import functools
+from math import ceil
 from typing import Optional
 
 import jax
@@ -43,9 +50,112 @@ from infinite_texture_gans_tpu.ops.padding import (
     SiteState,
     finalize_row,
     init_halo_state,
+    rotate_rows,
 )
 from infinite_texture_gans_tpu.sampling import latents
 from infinite_texture_gans_tpu.sampling.infinite import canvas_geometry
+
+
+@functools.lru_cache(maxsize=8)
+def _band_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
+    """Compiled one-band wavefront pass, cached per geometry (a per-call jit
+    closure would recompile every band/call)."""
+    n_dev = mesh.devices.size
+    gh, gw, base = gen.num_patches_h, gen.num_patches_w, gen.base_res
+    P_res = gen.patch_resolution
+    z_cols = gw * base + latents.Z_PAD
+    specs = gen.site_specs()
+    outer = gen.outer_padding
+    total_T = steps_w + 2 * (n_dev - 1)
+    perm = [(i, i + 1) for i in range(n_dev - 1)]
+
+    map_specs = tuple(P("data") for _ in range(n_maps))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(), P("data"), map_specs, P(), P()),
+        out_specs=(P("data"), P("data")),
+        check_rep=False,
+    )
+    def band(variables, z_strips, maps_strips, row_read_init, band_idx):
+        d = lax.axis_index("data")
+        z_strip = z_strips[0]  # (N, z_rows_h, tot_w*base+2, zd)
+        first_row = jnp.logical_and(band_idx == 0, d == 0)
+
+        halo = init_halo_state(specs, num_images, gh, gw, tot_w, dtype=gen.dtype)
+        if row_read_init:
+            # device 0 continues below the previous band's last row
+            halo = {
+                name: SiteState(
+                    v=site.v,
+                    row_read=jnp.where(d == 0, row_read_init[name], site.row_read),
+                    row_write=site.row_write,
+                )
+                for name, site in halo.items()
+            }
+        subs0 = jnp.zeros(
+            (steps_w, num_images, gh * P_res, gw * P_res, gen.img_ch), gen.dtype
+        )
+
+        def body(carry, t):
+            halo, subs = carry
+            c = t - 2 * d
+            active = jnp.logical_and(c >= 0, c < steps_w)
+            cc = jnp.clip(c, 0, steps_w - 1)
+            z_sub = lax.dynamic_slice_in_dim(
+                z_strip, cc * (gw - 1) * base, z_cols, axis=2
+            )
+            maps_sub = None
+            if maps_strips:
+                maps_sub = [
+                    lax.dynamic_slice_in_dim(
+                        m[0],
+                        cc * (gw - 1) * (2**i) * base,
+                        gw * (2**i) * base + latents.MAP_PAD,
+                        axis=2,
+                    )
+                    for i, m in enumerate(maps_strips)
+                ]
+            pos = GridPos(col=cc, first_row=first_row, first_col=cc == 0)
+            out, halo_new = gen.apply(
+                variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
+            )
+            halo = jax.tree_util.tree_map(
+                lambda old, new: jnp.where(active, new, old), halo, halo_new
+            )
+            subs = subs.at[cc].set(jnp.where(active, out, subs[cc]))
+
+            # ICI halo exchange: ship this row's accumulated bottom-edge
+            # buffers (border cells pre-filled) to the device below; the
+            # receiver reads only the region its wavefront position has
+            # already made final (lag 2 guarantees that). Device 0 has no
+            # upstream neighbour and must keep its band-handoff buffer.
+            sends = {
+                name: finalize_row(site, outer).row_write
+                for name, site in halo.items()
+            }
+            recvs = lax.ppermute(sends, "data", perm)
+            halo = {
+                name: SiteState(
+                    v=site.v,
+                    row_read=jnp.where(d == 0, site.row_read, recvs[name]),
+                    row_write=site.row_write,
+                )
+                for name, site in halo.items()
+            }
+            return (halo, subs), None
+
+        (halo, subs), _ = lax.scan(body, (halo, subs0), jnp.arange(total_T))
+        # ready-for-next-row state; the host hands the LAST device's buffer
+        # to device 0 of the next band
+        rotated = {
+            name: rotate_rows(finalize_row(site, outer)) for name, site in halo.items()
+        }
+        handoff = {name: site.row_read[None] for name, site in rotated.items()}
+        return subs[None], handoff
+
+    return band
 
 
 def generate_canvas_wavefront(
@@ -57,12 +167,12 @@ def generate_canvas_wavefront(
     mesh: Mesh,
     num_images: int = 1,
     z_full: Optional[jnp.ndarray] = None,
+    maps_full=None,
 ) -> np.ndarray:
     """Fill one (out_h, out_w) canvas with its sub-image rows pipelined
     across the mesh's ``data`` axis. Equal to :func:`generate_canvas`
-    (tests assert it); requires steps_h <= mesh size and type_norm == 'BN'.
-    """
-    assert gen.type_norm == "BN", "wavefront v1 supports BN generators"
+    (tests assert it); supports BN and SSM generators and any canvas height
+    (cyclic band assignment when steps_h > mesh size)."""
     P_res = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
     base = gen.base_res
@@ -70,12 +180,6 @@ def generate_canvas_wavefront(
         output_resolution_height, output_resolution_width, P_res, gh, gw
     )
     n_dev = mesh.devices.size
-    if steps_h > n_dev:
-        raise ValueError(
-            f"wavefront v1 runs one canvas row per device: steps_h={steps_h} "
-            f"> mesh size {n_dev}; generate in horizontal bands or use "
-            "generate_canvas"
-        )
     if gw < 3:
         # Lag-2 is only provably equal to the sequential engine for gw >= 3:
         # with gw=2 the top-halo read window of column c overlaps column
@@ -85,82 +189,73 @@ def generate_canvas_wavefront(
             "schedule's halo read window would race the row buffer"
         )
 
+    zk, mk = jax.random.split(key)
     if z_full is None:
-        z_full = latents.build_z_full(
-            key, num_images, gen.z_dim, base, tot_h, tot_w
+        z_full = latents.build_z_full(zk, num_images, gen.z_dim, base, tot_h, tot_w)
+    if gen.type_norm == "SSM" and maps_full is None:
+        maps_full = latents.build_maps_full(
+            mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
         )
-    # every device needs its own row strip; replicate the (small) full latent
+    n_maps = len(maps_full) if maps_full is not None else 0
+
     z_rows_h = gh * base + latents.Z_PAD
-    total_T = steps_w + 2 * (steps_h - 1)
-    specs = gen.site_specs()
-    outer = gen.outer_padding
+    n_bands = ceil(steps_h / n_dev)
 
-    @functools.partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P("data"),
-        check_rep=False,
-    )
-    def wavefront(variables, z_full):
-        d = lax.axis_index("data")
-        r = jnp.minimum(d, steps_h - 1)  # devices past the last row idle on it
-        r0 = r * (gh - 1) * base
-        z_strip = lax.dynamic_slice_in_dim(z_full, r0, z_rows_h, axis=1)
-
-        halo0 = init_halo_state(specs, num_images, gh, gw, tot_w, dtype=gen.dtype)
-        subs0 = jnp.zeros(
-            (steps_w, num_images, gh * P_res, gw * P_res, gen.img_ch), gen.dtype
+    def strips_for_band(b):
+        """Per-device row strips (device d gets ONLY its rows — the inputs
+        are sharded on the mesh axis, not replicated)."""
+        rows = [min(b * n_dev + d, steps_h - 1) for d in range(n_dev)]
+        z_b = jnp.stack(
+            [
+                z_full[:, r * (gh - 1) * base : r * (gh - 1) * base + z_rows_h]
+                for r in rows
+            ]
         )
-        perm = [(i, i + 1) for i in range(n_dev - 1)]
-
-        def body(carry, t):
-            halo, subs = carry
-            c = t - 2 * r
-            active = jnp.logical_and(c >= 0, c < steps_w)
-            cc = jnp.clip(c, 0, steps_w - 1)
-            z_sub = lax.dynamic_slice_in_dim(
-                z_strip, cc * (gw - 1) * base, gw * base + latents.Z_PAD, axis=2
-            )
-            pos = GridPos(col=cc, first_row=r == 0, first_col=cc == 0)
-            out, halo_new = gen.apply(
-                variables, z_sub, None, train=False, halo=halo, pos=pos
-            )
-            halo = jax.tree_util.tree_map(
-                lambda old, new: jnp.where(active, new, old), halo, halo_new
-            )
-            subs = subs.at[cc].set(jnp.where(active, out, subs[cc]))
-
-            # ICI halo exchange: ship this row's accumulated bottom-edge
-            # buffers (border cells pre-filled) to the device below; the
-            # receiver reads only the region its wavefront position has
-            # already made final (lag 2 guarantees that).
-            sends = {
-                name: finalize_row(site, outer).row_write
-                for name, site in halo.items()
-            }
-            recvs = lax.ppermute(sends, "data", perm)
-            halo = {
-                name: SiteState(
-                    v=site.v, row_read=recvs[name], row_write=site.row_write
+        maps_b = ()
+        if maps_full is not None:
+            maps_b = tuple(
+                jnp.stack(
+                    [
+                        m[
+                            :,
+                            r * (gh - 1) * (2**i) * base : r * (gh - 1) * (2**i) * base
+                            + gh * (2**i) * base
+                            + latents.MAP_PAD,
+                        ]
+                        for r in rows
+                    ]
                 )
-                for name, site in halo.items()
-            }
-            return (halo, subs), None
+                for i, m in enumerate(maps_full)
+            )
+        return z_b, maps_b
 
-        (_, subs), _ = lax.scan(body, (halo0, subs0), jnp.arange(total_T))
-        return subs[None]  # leading device axis for out_specs P('data')
+    band = _band_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps)
 
-    subs = np.asarray(wavefront(variables, z_full))  # (n_dev, steps_w, N, ...)
     canvas = np.zeros(
         (num_images, tot_h * P_res, tot_w * P_res, gen.img_ch), np.float32
     )
-    for rr in range(steps_h):
-        for c in range(steps_w):
-            canvas[
-                :,
-                rr * (gh - 1) * P_res : (rr * (gh - 1) + gh) * P_res,
-                c * (gw - 1) * P_res : (c * (gw - 1) + gw) * P_res,
-                :,
-            ] = subs[rr, c]
+    handoff = {
+        name: jnp.zeros_like(site.row_read)
+        for name, site in init_halo_state(
+            gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype
+        ).items()
+    }
+    for b in range(n_bands):
+        z_b, maps_b = strips_for_band(b)
+        subs, handoff_all = band(
+            variables, z_b, maps_b, handoff, jnp.int32(b)
+        )
+        subs = np.asarray(subs)  # (n_dev, steps_w, N, gh*P, gw*P, C)
+        handoff = jax.tree_util.tree_map(lambda a: a[-1], handoff_all)
+        for d in range(n_dev):
+            r = b * n_dev + d
+            if r >= steps_h:
+                break
+            for c in range(steps_w):
+                canvas[
+                    :,
+                    r * (gh - 1) * P_res : (r * (gh - 1) + gh) * P_res,
+                    c * (gw - 1) * P_res : (c * (gw - 1) + gw) * P_res,
+                    :,
+                ] = subs[d, c]
     return canvas[:, :output_resolution_height, :output_resolution_width, :]

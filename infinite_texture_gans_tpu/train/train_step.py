@@ -7,8 +7,14 @@ compiled function:
   SN power iteration), D on real + detached fake, BCE/hinge/wgan loss,
   separate-backward-accumulate == grad of the sum, Adam step
   (train.py:124-153);
-* G update re-uses the LAST D-iteration's z and pre-forward G state — the
-  exact graph torch reuses for the G backward (train.py:161-169);
+* G update re-uses the LAST D-iteration's forward: the fake image is
+  computed ONCE via ``jax.vjp`` and both consumed (stop-gradient) by the D
+  update and back-propagated for the G update — the exact stored autograd
+  graph torch reuses (train.py:161-169, ``netD(fake_x)`` after
+  ``optD.step()``). This halves the number of G forwards per step (measured
+  ~5 ms/step on v5e for the Exp-1 recipe) and is *more* faithful than a
+  recompute: like torch, the G backward sees the activations produced with
+  the updated spectral-norm u vectors;
 * EMA blend of G params + BN stats after the G step (train.py:176-180).
 
 Everything is explicit functional state: no hooks, no module mutation.
@@ -185,15 +191,26 @@ def make_train_step(
         aux_G = state.aux_G
         d_loss_real_acc = 0.0
         d_loss_fake_acc = 0.0
-        z_last = maps_last = None
-        aux_G_pre_last = None
+        fake_last = g_vjp = None
 
         keys = jax.random.split(key, disc_iters)
         for it in range(disc_iters):
             z, maps = sample_z_maps(keys[it])
-            aux_G_pre = aux_G
-            fake, aux_G = g_forward(state.params_G, aux_G, z, maps)
-            fake = jax.lax.stop_gradient(fake)
+            if it == disc_iters - 1:
+                # The G forward whose graph the G update will re-use:
+                # differentiate wrt params only (aux enters as a constant,
+                # matching the reference's stored graph).
+                aux_G_pre = aux_G
+
+                def g_fwd(p):
+                    return g_forward(p, aux_G_pre, z, maps)
+
+                fake, g_vjp, aux_G = jax.vjp(g_fwd, state.params_G, has_aux=True)
+                fake_last = fake
+                fake = jax.lax.stop_gradient(fake)
+            else:
+                fake, aux_G = g_forward(state.params_G, aux_G, z, maps)
+                fake = jax.lax.stop_gradient(fake)
 
             def d_loss_fn(p, aux):
                 rl, aux1 = d_apply(p, aux, real_x)
@@ -209,25 +226,18 @@ def make_train_step(
             params_D = optax.apply_updates(params_D, updates)
             d_loss_real_acc += lr_
             d_loss_fake_acc += lf_
-            z_last, maps_last, aux_G_pre_last = z, maps, aux_G_pre
 
-        # --- G update: same z / pre-forward aux as the last D iteration ----
-        def g_loss_fn(params_G):
-            variables = {"params": params_G, **aux_G_pre_last}
-            (fake2, _), _ = G.apply(
-                variables,
-                z_last,
-                maps_last,
-                train=True,
-                update_sn=False,
-                mutable=list(aux_G_pre_last.keys()),
-            )
-            logit, new_aux_D = d_apply(params_D, aux_D, fake2)
+        # --- G update: differentiate the UPDATED D wrt the stored fake, then
+        # pull the cotangent through the saved G forward (one G backward, no
+        # second G forward) --------------------------------------------------
+        def g_loss_from_fake(fk):
+            logit, new_aux_D = d_apply(params_D, aux_D, fk)
             return L.g_loss(loss_type, logit, label_t), new_aux_D
 
-        (gl_, aux_D_after), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.params_G
-        )
+        (gl_, aux_D_after), dfake = jax.value_and_grad(
+            g_loss_from_fake, has_aux=True
+        )(fake_last)
+        (g_grads,) = g_vjp(dfake)
         updates_G, opt_G = tx_G.update(g_grads, state.opt_G, state.params_G)
         params_G = optax.apply_updates(state.params_G, updates_G)
 

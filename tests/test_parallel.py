@@ -102,6 +102,63 @@ def test_wavefront_canvas_matches_sequential(gen_and_vars):
     np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
 
 
+def test_wavefront_multiband_61x61(gen_and_vars):
+    """Wavefront v2: a 61x61-patch canvas (steps_h = 30 > 8 devices) runs as
+    cyclic row bands with the halo buffer handed across bands; must equal
+    the sequential engine (VERDICT r1 #2 / BASELINE config 5 geometry)."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen, variables = gen_and_vars
+    mesh = make_mesh("data:8")
+    P_res = gen.patch_resolution  # 32
+    out_h = out_w = 61 * P_res  # 30 x 30 wavefront steps, 4 bands of 8 rows
+    z = build_z_full(jax.random.key(8), 1, 8, 4, 61, 61)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    out = generate_canvas_wavefront(
+        gen, variables, jax.random.key(0), out_h, out_w, mesh,
+        num_images=1, z_full=z,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_wavefront_ssm_matches_sequential():
+    """Wavefront v2 with an SSM generator (map strips sliced per column
+    inside the scan, sharded per device row)."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+    from infinite_texture_gans_tpu.sampling.latents import build_maps_full
+
+    gen = tiny_gen(type_norm="SSM", map_dim=2)
+    z0 = jnp.zeros((1, 14, 14, 8))
+    m0 = build_maps_full(jax.random.key(1), 1, 2, 4, 4, 3, 3)
+    variables = jax.jit(lambda z, m: gen.init(jax.random.key(0), z, m, train=True))(
+        z0, m0
+    )
+    variables = {k: variables[k] for k in ("params", "batch_stats") if k in variables}
+
+    mesh = make_mesh("data:8")
+    P_res = gen.patch_resolution
+    out_h, out_w = 21 * P_res, 7 * P_res  # 10 x 3 steps -> 2 bands
+    z = build_z_full(jax.random.key(9), 1, 8, 4, 21, 7)
+    maps = build_maps_full(jax.random.key(10), 1, 2, 4, 4, 21, 7)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w,
+        num_images=1, z_full=z, maps_full=maps,
+    )
+    out = generate_canvas_wavefront(
+        gen, variables, jax.random.key(0), out_h, out_w, mesh,
+        num_images=1, z_full=z, maps_full=maps,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+
+
 def test_shard_batch_layout():
     mesh = make_mesh("data:8")
     x = np.zeros((16, 4, 4, 3), np.float32)

@@ -237,6 +237,41 @@ def test_multiple_images_dataset_and_prefetcher(tmp_path):
     assert b2.shape == (2, 64, 64, 3)
 
 
+def test_full_train_loop_mesh(tmp_path, capsys):
+    """train(args) end-to-end on the 8-device CPU mesh (--mesh data:8):
+    checkpoints written, losses finite and equal-ish to the single-device
+    run with the same seed. GSPMD semantics: the sharded step computes the
+    same GLOBAL-batch math as one device (incl. global BatchNorm stats — see
+    PARITY.md deviations), so the two runs differ only by reduction order."""
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+
+    def run(fname, mesh):
+        args = tiny_args(
+            data_path=tex,
+            data_ext="png",
+            epochs=1,
+            saving_rate=1,
+            fname=str(tmp_path / fname),
+            seed=11,
+            batch_size=8,
+            num_images=8,
+            sampling=16,
+        )
+        args.mesh = mesh
+        train(args)
+        ckpt = load_checkpoint(str(tmp_path / fname / "1_1.ckpt"))
+        return ckpt["meta"]["Gloss"], ckpt["meta"]["Dloss"]
+
+    g_mesh, d_mesh = run("cp_mesh", "data:8")
+    assert "mesh" in capsys.readouterr().out
+    g_one, d_one = run("cp_one", None)
+    assert np.isfinite(g_mesh).all() and np.isfinite(d_mesh).all()
+    np.testing.assert_allclose(g_mesh, g_one, rtol=0.2, atol=0.05)
+    np.testing.assert_allclose(d_mesh, d_one, rtol=0.2, atol=0.05)
+
+
 def test_full_train_loop_smoke(tmp_path):
     """Two tiny epochs end to end through train(args): losses finite,
     checkpoints + EMA checkpoint + losses.png written."""
