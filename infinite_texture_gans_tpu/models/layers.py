@@ -21,7 +21,11 @@ from infinite_texture_gans_tpu.ops.padding import (
     halo_pad_step,
     local_pad,
 )
-from infinite_texture_gans_tpu.ops.pallas_conv import conv1x1_chw, conv3x3_chw
+from infinite_texture_gans_tpu.ops.pallas_conv import (
+    conv1x1_chw,
+    conv1x1_chw_add,
+    conv3x3_chw,
+)
 
 
 def activation_fn(leak: float):
@@ -391,7 +395,8 @@ class ResBlockGenerator(nn.Module):
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn3"
                     )(sc, maps, train=train, update_sn=update_sn, chw=True)
                 k3, b3 = RawConvParams(self.features, 1, name="conv3")(x.shape[1])
-                sc = conv1x1_chw(sc, k3, b3)
+                # shortcut conv + residual add in ONE kernel pass
+                return conv1x1_chw_add(sc, k3, b3, out), halo1, halo2
             return out + sc, halo1, halo2
 
         if self.type_norm == "SSM":

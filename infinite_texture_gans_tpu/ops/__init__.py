@@ -6,7 +6,11 @@ from infinite_texture_gans_tpu.ops.grid import (
     crop_image,
     upsample_nearest,
 )
-from infinite_texture_gans_tpu.ops.pallas_conv import conv1x1_chw, conv3x3_chw
+from infinite_texture_gans_tpu.ops.pallas_conv import (
+    conv1x1_chw,
+    conv1x1_chw_add,
+    conv3x3_chw,
+)
 from infinite_texture_gans_tpu.ops.padding import (
     SiteSpec,
     SiteState,
@@ -27,6 +31,7 @@ __all__ = [
     "upsample_nearest",
     "conv3x3_chw",
     "conv1x1_chw",
+    "conv1x1_chw_add",
     "SiteSpec",
     "SiteState",
     "GridPos",

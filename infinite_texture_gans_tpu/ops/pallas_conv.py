@@ -548,8 +548,9 @@ conv3x3_chw.defvjp(_fwd_rule, _bwd_rule)
 # 1x1 conv (the ResBlock shortcut) on channels-major arrays.
 
 
-def _conv1x1_kernel(bh: int):
-    def kernel(x_ref, w_ref, b_ref, y_ref):
+def _conv1x1_kernel(bh: int, with_res: bool):
+    def kernel(x_ref, w_ref, b_ref, *rest):
+        res_ref, y_ref = (rest[0], rest[1]) if with_res else (None, rest[0])
         w = x_ref.shape[3]
         xm = x_ref[0].reshape(-1, bh * w)  # (C, BH*W)
         y = lax.dot_general(
@@ -557,32 +558,41 @@ def _conv1x1_kernel(bh: int):
             preferred_element_type=jnp.float32,
         )
         y = y + b_ref[:, :]
+        if with_res:
+            y = y + res_ref[0].reshape(-1, bh * w)
         y_ref[0, :, :, :] = y.reshape(-1, bh, w).astype(y_ref.dtype)
 
     return kernel
 
 
 @jax.jit
-def _conv1x1_chw_fwd(x, wm, b):
+def _conv1x1_chw_fwd(x, wm, b, res=None):
     w_true = x.shape[3]
     x = _pad_w_lanes(x, "zeros")
     n, c, h, w = x.shape
     co = wm.shape[0]
     bh = _pick_bh(h, w, 2 * c + 2 * co, x.dtype.itemsize)
+    in_specs = [
+        pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, wm, b]
+    if res is not None:
+        in_specs.append(
+            pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(_pad_w_lanes(res, "zeros"))
     return pl.pallas_call(
-        _conv1x1_kernel(bh),
+        _conv1x1_kernel(bh, res is not None),
         grid=(n, h // bh),
-        in_specs=[
-            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
         interpret=_interpret(),
-    )(x, wm, b)[..., :w_true]
+    )(*args)[..., :w_true]
 
 
 def _dw1x1_kernel(bh: int):
@@ -658,6 +668,29 @@ def _conv1x1_bwd_rule(res, g):
 
 
 conv1x1_chw.defvjp(_conv1x1_fwd_rule, _conv1x1_bwd_rule)
+
+
+@jax.custom_vjp
+def conv1x1_chw_add(x, w, b, res):
+    """y = 1x1 conv + res: the ResBlock shortcut FUSED with the residual
+    add (reference models/layers.py:320-321 ``out + shortcut``) — one VMEM
+    pass instead of a separate XLA elementwise add (which forces an extra
+    HBM round-trip and a layout relayout between the Pallas calls)."""
+    co = w.shape[-1]
+    wm = jnp.transpose(w.reshape(-1, co), (1, 0)).astype(x.dtype)
+    return _conv1x1_chw_fwd(x, wm, b.reshape(co, 1).astype(x.dtype), res)
+
+
+def _conv1x1_add_fwd_rule(x, w, b, res):
+    return conv1x1_chw_add(x, w, b, res), (x, w, b)
+
+
+def _conv1x1_add_bwd_rule(saved, g):
+    dx, dw, db = _conv1x1_bwd_rule(saved, g)
+    return dx, dw, db, g
+
+
+conv1x1_chw_add.defvjp(_conv1x1_add_fwd_rule, _conv1x1_add_bwd_rule)
 
 
 def conv3x3_chw_reference(x, w, b, scale, shift, relu=True,
