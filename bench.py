@@ -103,26 +103,14 @@ def main() -> None:
     seam = seam_mse(img, G.patch_resolution)
     natural = adjacent_mse_baseline(img)
 
-    # Self-proving seam check: with the attention gamma zeroed the halo-cache
-    # engine is BIT-EXACT vs one-pass generation (PARITY.md: trained
-    # attention spreads edge-pad contamination into the cached halo column —
-    # inherent to the reference algorithm, not this engine), so seam/natural
-    # ~= 1.0 here demonstrates the engine itself is seam-free independent of
-    # training state.
-    def zero_gamma(path, leaf):
-        return jnp.zeros_like(leaf) if path[-1].key == "gamma" else leaf
+    # Streamed engine: device-side uint8 + overlap trimming + async D2H
+    # (sampling/stream.py) — the production path for large canvases.
+    from infinite_texture_gans_tpu.sampling.stream import generate_canvas_streamed
 
-    vars_g0 = {
-        "params": jax.tree_util.tree_map_with_path(
-            zero_gamma, state.params_G
-        ),
-        **state.aux_G,
-    }
-    img_g0 = generate_canvas(
-        G, vars_g0, jax.random.key(12), 1024, 1024, num_images=1
-    )
-    seam_g0 = seam_mse(img_g0, G.patch_resolution)
-    natural_g0 = adjacent_mse_baseline(img_g0)
+    generate_canvas_streamed(G, gen_vars, jax.random.key(13), 1024, 1024, "/tmp/bench_s.png")
+    t0 = time.time()
+    generate_canvas_streamed(G, gen_vars, jax.random.key(14), 1024, 1024, "/tmp/bench_s.png")
+    gen_1024_streamed_warm_s = time.time() - t0
 
     # Engine exactness on hardware: patch-by-patch (stateful halo cache) must
     # reproduce the one-pass oracle bit-for-bit up to accumulation order.
@@ -148,6 +136,29 @@ def main() -> None:
     onep = np.asarray(generate_one_pass(G32, vars32, z5, None, 5, 5))
     engine_max_err = float(np.abs(pbp - onep).max())
 
+    # Self-proving seam + engine check: with the attention gamma zeroed the
+    # f32 halo engine is BIT-EXACT vs one-pass (PARITY.md: trained attention
+    # spreads edge-pad contamination into the cached halo column — inherent
+    # to the reference algorithm; and in bf16 an UNTRAINED net chaotically
+    # amplifies rounding differences between the overlapped regenerations).
+    # seam/natural ~= 1 here demonstrates the engine is seam-free
+    # independent of training state.
+    def zero_gamma(path, leaf):
+        return jnp.zeros_like(leaf) if path[-1].key == "gamma" else leaf
+
+    vars_g0 = {
+        "params": jax.tree_util.tree_map_with_path(zero_gamma, vars32["params"]),
+        **{k: v for k, v in vars32.items() if k != "params"},
+    }
+    pbp_g0 = generate_canvas(
+        G32, vars_g0, jax.random.key(11), 5 * G.patch_resolution,
+        5 * G.patch_resolution, num_images=1, z_full=z5,
+    )
+    onep_g0 = np.asarray(generate_one_pass(G32, vars_g0, z5, None, 5, 5))
+    engine_max_err_g0 = float(np.abs(pbp_g0 - onep_g0).max())
+    seam_g0 = seam_mse(pbp_g0, G.patch_resolution)
+    natural_g0 = adjacent_mse_baseline(pbp_g0)
+
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
@@ -165,16 +176,18 @@ def main() -> None:
             "patches_per_sec_per_chip": round(patches_per_sec, 2),
             "gen_1024_wall_s_cold": round(gen_1024_s, 3),
             "gen_1024_wall_s_warm": round(gen_1024_warm_s, 3),
+            "gen_1024_streamed_warm_s": round(gen_1024_streamed_warm_s, 3),
             "seam_mse_1024": seam,
             "adjacent_mse_natural": natural,
-            "seam_ratio_gamma0": round(seam_g0 / max(natural_g0, 1e-12), 4),
-            "seam_mse_1024_gamma0": seam_g0,
-            "adjacent_mse_natural_gamma0": natural_g0,
+            "seam_ratio_gamma0_f32": round(seam_g0 / max(natural_g0, 1e-12), 4),
+            "engine_vs_onepass_max_err_gamma0_f32": engine_max_err_g0,
             "seam_note": (
-                "gamma0 = attention gamma zeroed: the halo engine is "
-                "bit-exact there, so ratio~1 proves engine seamlessness; "
-                "the non-gamma0 numbers reflect an UNTRAINED 21-step net "
-                "where attention spreads pad contamination (PARITY.md)"
+                "all seam/engine numbers here are measured on an UNTRAINED "
+                "21-step net and are dominated by the TPU accumulation-"
+                "noise floor (PARITY.md: unconverged BN stacks chaotically "
+                "amplify reduction-order epsilon; on CPU the same check is "
+                "exactly 0.0 — see tests/test_halo.py). The trained-model "
+                "seam/natural ratio is 1.02 at 4096^2 (README)."
             ),
             "engine_vs_onepass_max_err": engine_max_err,
             "setup_compile_s": round(setup_s, 1),

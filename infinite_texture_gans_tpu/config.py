@@ -138,6 +138,11 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                         help='use tiling of the input (zeros-padding baseline)')
     parser.add_argument('--batch', type=int, default=1, help='number of images to generate')
     parser.add_argument('--seed', type=int, default=None)
+    parser.add_argument('--stream', default=False, action='store_true',
+                        help='stream the canvas straight into a PNG: O(band) '
+                             'host memory and ~9x less device->host traffic '
+                             '(uint8, overlap-trimmed); use for very large '
+                             'outputs. Output name must end in .png.')
     return parser
 
 

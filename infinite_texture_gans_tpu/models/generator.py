@@ -156,8 +156,7 @@ class ResidualPatchGenerator(nn.Module):
         # them ~10x padded in HBM (ops/pallas_conv.py). Monotone: channels
         # only shrink and widths only grow down the stack.
         chw_capable = (
-            halo is None
-            and local
+            local
             and not self.SN
             and self.leak == 0
             and self.chw_tail != "off"
@@ -223,7 +222,7 @@ class ResidualPatchGenerator(nn.Module):
                 h = act(h)
                 cf = h.shape[1]
                 fold = (jnp.ones((cf,), jnp.float32), jnp.zeros((cf,), jnp.float32), False)
-            h, _ = ConvLP(
+            h, hf = ConvLP(
                 self.img_ch,
                 sn=self.SN,
                 padding_mode=self.padding_mode,
@@ -232,9 +231,11 @@ class ResidualPatchGenerator(nn.Module):
                 gw=gw,
                 dtype=self.dtype,
                 name="final",
-            )(h, chw_fold=fold)
+            )(h, site("final"), pos, chw_fold=fold)
+            if halo is not None:
+                halo_out["final"] = hf
             out = jnp.transpose(jnp.tanh(h), (0, 2, 3, 1))
-            return out, None
+            return out, (halo_out if halo is not None else None)
 
         if self.type_norm == "BN":
             h = nn.BatchNorm(

@@ -22,6 +22,7 @@ from infinite_texture_gans_tpu.ops.padding import (
     local_pad,
 )
 from infinite_texture_gans_tpu.ops.pallas_conv import (
+    chw_halo_step,
     conv1x1_chw,
     conv1x1_chw_add,
     conv3x3_chw,
@@ -128,6 +129,13 @@ class ConvLP(nn.Module):
             # ops/pallas_conv.py). Same 'conv' submodule name -> same tree.
             scale, shift, relu = chw_fold
             kernel, bias = RawConvParams(self.features, 3, name="conv")(x.shape[1])
+            if halo is not None:
+                # stateful raster step: halo cache supplies top/left, the
+                # Pallas halo kernel does the padded conv (inference only)
+                return chw_halo_step(
+                    x, kernel, bias, scale, shift, relu, self.outer_padding,
+                    halo, pos, self.gh, self.gw,
+                )
             y = conv3x3_chw(x, kernel, bias, scale, shift, relu, self.outer_padding)
             return y, halo
         if self.padding_mode == "local":
@@ -366,8 +374,8 @@ class ResBlockGenerator(nn.Module):
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
                     )(x, maps, train=train, update_sn=update_sn, chw=True)
                 )
-                out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
-                    a, chw_fold=(ones1, zeros1, False)
+                out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    a, halo1, pos, chw_fold=(ones1, zeros1, False)
                 )
                 onesf = jnp.ones((self.features,), jnp.float32)
                 zerosf = jnp.zeros((self.features,), jnp.float32)
@@ -376,17 +384,17 @@ class ResBlockGenerator(nn.Module):
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
                     )(out, maps, train=train, update_sn=update_sn, chw=True)
                 )
-                out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
-                    a2, chw_fold=(onesf, zerosf, False)
+                out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
+                    a2, halo2, pos, chw_fold=(onesf, zerosf, False)
                 )
             else:
                 sc1, sh1 = BNFold(name="bn1")(x, train=train)
-                out, _ = ConvLP(self.features, name="conv1", **convlp_kw)(
-                    x, chw_fold=(sc1, sh1, True)
+                out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    x, halo1, pos, chw_fold=(sc1, sh1, True)
                 )
                 sc2, sh2 = BNFold(name="bn2")(out, train=train)
-                out, _ = ConvLP(self.features, name="conv2", **convlp_kw)(
-                    out, chw_fold=(sc2, sh2, True)
+                out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
+                    out, halo2, pos, chw_fold=(sc2, sh2, True)
                 )
             sc = x
             if learnable_sc:

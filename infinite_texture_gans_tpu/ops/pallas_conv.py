@@ -100,10 +100,12 @@ def _halo_rows(x: jnp.ndarray, bh: int):
     return jnp.swapaxes(tops, 1, 2), jnp.swapaxes(bots, 1, 2)
 
 
-def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true):
+def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
+               halo_top: bool = False):
     """Assemble the (C, BH+2, W) slab from the block + halo rows, apply the
     fused scale/shift (+ReLU) and fix halo values for zero outer padding.
-    top/bot arrive as (C, W)."""
+    top/bot arrive as (C, W). ``halo_top``: the t==0 top row is an injected
+    halo (handled by the caller) — skip its zeros-mode canvas masking."""
     x = jnp.concatenate([top[:, None, :], xb, bot[:, None, :]], axis=1)  # (C, BH+2, W)
     x = x * sc_ref[:, :, :] + sh_ref[:, :, :]  # scale/shift arrive (C, 1, W)
     if relu:
@@ -111,9 +113,11 @@ def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true
     if zeros_mode:
         # canvas-border halo rows must be zero POST-norm
         row = lax.broadcasted_iota(jnp.int32, (1, bh + 2, 1), 1)
-        top_m = jnp.logical_and(row == 0, t == 0)
         bot_m = jnp.logical_and(row == bh + 1, t == nt - 1)
-        x = jnp.where(jnp.logical_or(top_m, bot_m), 0.0, x).astype(x.dtype)
+        if not halo_top:
+            top_m = jnp.logical_and(row == 0, t == 0)
+            bot_m = jnp.logical_or(top_m, bot_m)
+        x = jnp.where(bot_m, 0.0, x).astype(x.dtype)
         if w_true != x.shape[2]:
             # lane-padded columns beyond the true width must also be zero
             # POST-norm (they are the true right edge's halo source)
@@ -219,6 +223,209 @@ def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str):
         out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
         interpret=_interpret(),
     )(x, tops, bots, wp, b, scale, shift)[..., :w_true]
+
+
+# --------------------------------------------------------------------------
+# Stateful-inference forward: the halo-cache variant (no VJP — the raster
+# engine never trains). The cross-step halo cache supplies the top row and
+# left column of the padded input; both arrive POST-norm (the cache stores
+# raw activations and the caller norms the tiny injection arrays in XLA —
+# valid because the eval-mode fold is a fixed per-channel affine). Column
+# halos become small (Co,3C)@(3C,BH) fill matmuls on row-stacked halo
+# column strips; the injected top row rides the ordinary `tops` input and
+# block 0 skips the in-kernel norm for it.
+
+
+def _conv_halo_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int,
+                      c: int, co: int, use_rstrip: bool):
+    def kernel(*refs):
+        if use_rstrip:
+            (x_ref, top_ref, bot_ref, l_ref, r_ref, wp_ref, b_ref,
+             sc_ref, sh_ref, y_ref) = refs
+        else:
+            (x_ref, top_ref, bot_ref, l_ref, wp_ref, b_ref,
+             sc_ref, sh_ref, y_ref) = refs
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        w = x_ref.shape[3]
+        top_pn = top_ref[0, 0]  # post-norm at t==0 (injected), raw otherwise
+        slab = _norm_slab(
+            x_ref[0], top_pn, bot_ref[0, 0], sc_ref, sh_ref,
+            relu, zeros_mode, t, nt, bh, w_true, halo_top=True,
+        )
+        # restore the injected (already-normed) top row for the first block
+        row = lax.broadcasted_iota(jnp.int32, (1, bh + 2, 1), 1)
+        slab = jnp.where(
+            jnp.logical_and(row == 0, t == 0),
+            top_pn[:, None, :].astype(slab.dtype), slab,
+        ).astype(slab.dtype)
+        s = _rows_stack(slab, bh)
+        p = lax.dot_general(
+            wp_ref[:, :], s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p0 = p[0:co].reshape(co, bh, w)
+        p1 = p[co : 2 * co].reshape(co, bh, w)
+        p2 = p[2 * co :].reshape(co, bh, w)
+        # left halo column: fill matmul on the row-stacked strip
+        # (strips arrive (BH, 3C): last block dim == array dim, the only
+        # Mosaic-legal layout for a non-128 trailing block size)
+        fill_l = lax.dot_general(
+            wp_ref[0:co, :], l_ref[0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(co, bh, 1)
+        if use_rstrip:  # w_true == W: right halo via its own strip
+            fill_r = lax.dot_general(
+                wp_ref[2 * co :, :], r_ref[0], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(co, bh, 1)
+        else:  # lane-padded width: the slab pad columns carry the halo
+            fill_r = jnp.zeros_like(p2[:, :, -1:])
+        y = _shift_r(p0, fill_l) + p1 + _shift_l(p2, fill_r)
+        y = (y.reshape(co, bh * w) + b_ref[:, :]).reshape(co, bh, w)
+        y_ref[0, :, :, :] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "outer_padding"))
+def _conv3x3_chw_fwd_halo(x, wp, b, scale, shift, top_pn, lstack, rstack,
+                          *, relu: bool, outer_padding: str):
+    """x (N,C,H,W) raw; top_pn (N,C,Wpad) POST-norm top halo row (canvas
+    cols 0..W-1, corner at col w_true when lane-padded); lstack/rstack
+    (N, H, 3C) POST-norm row-stacked halo column strips."""
+    w_true = x.shape[3]
+    zeros_mode = outer_padding == "constant"
+    x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
+    if x.shape[3] != w_true and scale.shape[-1] == w_true:
+        scale = _pad_w_lanes(scale, "edge")
+        shift = _pad_w_lanes(shift, "edge")
+    n, c, h, w = x.shape
+    co = wp.shape[0] // 3
+    bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
+    tops, bots = _halo_rows(x, bh)
+    tops = jnp.concatenate([top_pn[:, None, :, :], tops[:, 1:]], axis=1)
+    use_rstrip = w_true == w
+    kernel = _conv_halo_kernel(relu, zeros_mode, bh, w_true, c, co, use_rstrip)
+    strip_spec = pl.BlockSpec(
+        (1, bh, 3 * c), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+        strip_spec,
+    ]
+    args = [x, tops, bots, lstack]
+    if use_rstrip:
+        in_specs.append(strip_spec)
+        args.append(rstack)
+    in_specs += [
+        pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [wp, b, scale, shift]
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
+        interpret=_interpret(),
+    )(*args)[..., :w_true]
+
+
+def chw_halo_step(x, w, b, scale, shift, relu, outer_padding, site, pos, gh, gw):
+    """One stateful raster step of a channels-major local-padded conv.
+
+    ``x`` (N, C, Hm, Wm) is the RAW conv input (the BN fold + act run inside
+    the kernel); ``site`` is the engine's NHWC-format SiteState and holds
+    POST-norm values — identical buffer contents to the NHWC halo path
+    (ops/padding.py: halo_pad_step caches the conv's post-norm input), so
+    zeros-mode border cells and ``finalize_row`` semantics carry over
+    unchanged. The tiny injection/caching arrays are normed in XLA; the bulk
+    work runs in the Pallas halo kernel. Reference semantics:
+    models/layers.py:78-143 (padding() + update_padding_variables).
+    """
+    from infinite_texture_gans_tpu.ops.padding import SiteState
+
+    n, c, hm, wm = x.shape
+    hp, wp_ = hm // gh, wm // gw
+    co = w.shape[-1]
+    zeros = outer_padding == "constant"
+
+    def pn(a):  # post-norm domain for the tiny injection/cache arrays
+        a = a * scale.reshape(1, c, 1, 1) + shift.reshape(1, c, 1, 1)
+        return jnp.maximum(a, 0.0).astype(x.dtype) if relu else a.astype(x.dtype)
+
+    # --- assemble post-norm halo pieces ---------------------------------
+    v_pn = jnp.transpose(site.v, (0, 3, 1, 2)).astype(x.dtype)  # (N,C,Hm,1)
+    left = jnp.where(
+        pos.first_col,
+        jnp.zeros_like(v_pn) if zeros else pn(x[:, :, :, :1]),
+        v_pn,
+    )
+    right = jnp.zeros_like(left) if zeros else pn(x[:, :, :, -1:])
+
+    offset = (gw - 1) * wp_ * pos.col
+    read = lax.dynamic_slice_in_dim(site.row_read, offset, wm + 2, axis=2)
+    read_chw = jnp.transpose(read, (0, 3, 1, 2)).astype(x.dtype)  # (N,C,1,Wm+2)
+    if zeros:
+        own_top = jnp.zeros_like(read_chw)
+    else:  # replicate: [left[0], pn(x row 0), right[0]]
+        own_top = jnp.concatenate(
+            [left[:, :, :1, :], pn(x[:, :, :1, :]), right[:, :, :1, :]], axis=3
+        )
+    top = jnp.where(pos.first_row, own_top, read_chw)  # (N, C, 1, Wm+2)
+
+    # column strips spanning padded rows -1..Hm (post-norm)
+    def strips(corner_t, col, corner_b):
+        full = jnp.concatenate([corner_t, col[:, :, :, 0], corner_b], axis=2)
+        stk = jnp.concatenate(
+            [full[:, :, dy : dy + hm] for dy in range(3)], axis=1
+        )  # (N, 3C, Hm)
+        return jnp.transpose(stk, (0, 2, 1))  # (N, Hm, 3C): Mosaic block rule
+
+    bl = jnp.zeros_like(left[:, :, -1, :]) if zeros else left[:, :, -1, :]
+    br = jnp.zeros_like(right[:, :, -1, :]) if zeros else right[:, :, -1, :]
+    lstack = strips(top[:, :, 0, :1], left, bl)
+    rstack = strips(top[:, :, 0, -1:], right, br)
+
+    # top row for the kernel: canvas cols 0..Wm-1, lane-padded with the
+    # top-right corner placed at column Wm (see _conv3x3_chw_fwd_halo)
+    top_k = top[:, :, 0, 1 : wm + 1]
+    pad = (-wm) % 128
+    if pad:
+        top_k = jnp.pad(top_k, ((0, 0), (0, 0), (0, pad)))
+        top_k = top_k.at[:, :, wm].set(top[:, :, 0, wm + 1])
+
+    wp = _pack_w_partial(w).astype(x.dtype)
+    sc = _bcast_cw(scale, c, wm).astype(x.dtype)
+    sh = _bcast_cw(shift, c, wm).astype(x.dtype)
+    y = _conv3x3_chw_fwd_halo(
+        x, wp, b.reshape(co, 1).astype(x.dtype), sc, sh, top_k, lstack, rstack,
+        relu=relu, outer_padding=outer_padding,
+    )
+
+    # --- cache updates (post-norm domain, NHWC buffer format) ------------
+    v_new = pn(x[:, :, :, (gw - 1) * wp_ - 1 : (gw - 1) * wp_])
+    row_slice = pn(x[:, :, (gh - 1) * hp - 1 : (gh - 1) * hp, :])
+    row_write = lax.dynamic_update_slice_in_dim(
+        site.row_write,
+        jnp.transpose(row_slice, (0, 2, 3, 1)).astype(site.row_write.dtype),
+        offset + 1,
+        axis=2,
+    )
+    new_site = SiteState(
+        v=jnp.transpose(v_new, (0, 2, 3, 1)).astype(site.v.dtype),
+        row_read=site.row_read,
+        row_write=row_write,
+    )
+    return y, new_site
 
 
 # --------------------------------------------------------------------------

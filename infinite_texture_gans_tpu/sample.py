@@ -38,6 +38,25 @@ def main():
     seed = args_sample.seed if args_sample.seed is not None else 0
     key = jax.random.key(seed)
 
+    if args.padding_mode == "local" and getattr(args_sample, "stream", False):
+        from infinite_texture_gans_tpu.sampling.stream import generate_canvas_streamed
+
+        folder = os.path.dirname(args_sample.model_path)
+        saving_path = os.path.join(folder, args_sample.output_name)
+        if not saving_path.endswith(".png"):
+            saving_path += ".png"
+        generate_canvas_streamed(
+            netG,
+            variables,
+            key,
+            output_resolution_height=args_sample.output_resolution_height,
+            output_resolution_width=args_sample.output_resolution_width,
+            path=saving_path,
+            progress=True,
+        )
+        print("The image is saved as:", saving_path)
+        return
+
     if args.padding_mode == "local":
         img = generate_canvas(
             netG,

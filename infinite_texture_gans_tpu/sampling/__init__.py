@@ -12,9 +12,15 @@ from infinite_texture_gans_tpu.sampling.infinite import (
     generate_one_pass,
     sample_from_gen_patch_by_patch_train,
 )
+from infinite_texture_gans_tpu.sampling.stream import (
+    StreamingPNGWriter,
+    generate_canvas_streamed,
+)
 from infinite_texture_gans_tpu.sampling.tiled import sample_from_gen, tile_process
 
 __all__ = [
+    "StreamingPNGWriter",
+    "generate_canvas_streamed",
     "build_z_full",
     "build_maps_full",
     "build_train_z",

@@ -136,3 +136,62 @@ def test_grads_match(setup):
             np.asarray(b) / gscale, np.asarray(a) / gscale,
             atol=5e-5, rtol=1e-3, err_msg=str(path),
         )
+
+
+@pytest.mark.parametrize("outer", ["replicate", "constant"])
+def test_halo_scan_chw_matches_one_pass(outer):
+    """The channels-major Pallas tail under the stateful halo scan must
+    reproduce the one-pass oracle (same chw mode), the correctness
+    definition of the engine. Attention off => bit-exact regime."""
+    from infinite_texture_gans_tpu.sampling.infinite import (
+        generate_canvas,
+        generate_one_pass,
+    )
+
+    gen = ResidualPatchGenerator(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=False, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding=outer,
+        chw_tail="on",
+    )
+    z0 = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    P = gen.patch_resolution
+    z5 = latents.build_z_full(jax.random.key(2), 1, 16, 4, 5, 7)
+    pbp = generate_canvas(
+        gen, variables, jax.random.key(2), 5 * P, 7 * P, num_images=1, z_full=z5
+    )
+    onep = np.asarray(generate_one_pass(gen, variables, z5, None, 5, 7))
+    np.testing.assert_allclose(pbp, onep, atol=2e-5, rtol=1e-4)
+
+
+def test_halo_scan_chw_ssm_matches_one_pass():
+    """Same, SSM norm (identity prenorm in the kernel, per-pixel modulation
+    outside)."""
+    from infinite_texture_gans_tpu.sampling.infinite import (
+        generate_canvas,
+        generate_one_pass,
+    )
+
+    gen = ResidualPatchGenerator(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=False, img_ch=3,
+        type_norm="SSM", map_dim=2, padding_mode="local",
+        outer_padding="replicate", chw_tail="on",
+    )
+    z0 = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+    m0 = latents.build_train_maps(jax.random.key(2), 1, 2, 5, 4, 3, 3)
+    variables = jax.jit(
+        lambda z, m: gen.init(jax.random.key(0), z, m, train=True)
+    )(z0, m0)
+    variables = {k: v for k, v in dict(variables).items() if k in ("params", "batch_stats")}
+
+    P = gen.patch_resolution
+    z5 = latents.build_z_full(jax.random.key(3), 1, 16, 4, 5, 5)
+    m5 = latents.build_maps_full(jax.random.key(4), 1, 2, 5, 4, 5, 5)
+    pbp = generate_canvas(
+        gen, variables, jax.random.key(3), 5 * P, 5 * P,
+        num_images=1, z_full=z5, maps_full=m5,
+    )
+    onep = np.asarray(generate_one_pass(gen, variables, z5, m5, 5, 5))
+    np.testing.assert_allclose(pbp, onep, atol=2e-5, rtol=1e-4)

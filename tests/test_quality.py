@@ -1,0 +1,68 @@
+"""Quality-metric harness: SIFID/LPIPS math sanity + texture report."""
+
+import numpy as np
+import pytest
+
+from infinite_texture_gans_tpu.utils.quality import (
+    color_histogram_distance,
+    frechet_distance,
+    gram_distance,
+    lpips_distance,
+    random_conv_features,
+    sifid,
+    spectrum_distance,
+    texture_quality_report,
+)
+
+
+def test_frechet_identity_and_shift():
+    mu = np.zeros(4)
+    cov = np.eye(4)
+    assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-8)
+    d = frechet_distance(mu, cov, mu + 2.0, cov)
+    assert d == pytest.approx(16.0, abs=1e-6)  # |diff|^2 with equal covs
+
+
+def _smooth(x, k=4):
+    """box-blur via cumsum (no scipy)."""
+    c = np.cumsum(np.cumsum(x, axis=0), axis=1)
+    c = np.pad(c, ((k, 0), (k, 0), (0, 0)))
+    out = c[k:, k:] - c[:-k, k:] - c[k:, :-k] + c[:-k, :-k]
+    return (out / (k * k)).astype(np.float32)
+
+
+def test_sifid_and_lpips_discriminate():
+    rng = np.random.default_rng(0)
+    tex = _smooth(rng.uniform(-1, 1, (96, 96, 3)))
+    similar = _smooth(rng.uniform(-1, 1, (96, 96, 3)))  # same statistics
+    different = np.sign(rng.uniform(-1, 1, (96, 96, 3))).astype(np.float32)
+
+    feats = random_conv_features()
+    s_sim = sifid(tex, similar, feats)
+    s_diff = sifid(tex, different, feats)
+    assert s_sim >= 0 and s_diff > s_sim  # same-statistics closer than alien
+
+    assert lpips_distance(tex, tex, feats) == pytest.approx(0.0, abs=1e-6)
+    # LPIPS is positional: a mild distortion of tex must score closer than a
+    # heavy one (unrelated textures all sit near the saturation point)
+    mild = _smooth(tex, 2)
+    heavy = np.flip(tex, axis=0).copy()
+    assert 0 < lpips_distance(tex, mild, feats) < lpips_distance(tex, heavy, feats)
+
+    g_sim = gram_distance(tex, similar, feats)
+    g_diff = gram_distance(tex, different, feats)
+    assert g_diff > g_sim
+
+    assert spectrum_distance(tex, similar) < spectrum_distance(tex, different)
+    assert color_histogram_distance(tex, similar) < color_histogram_distance(
+        tex, different
+    )
+
+
+def test_report_size_agnostic():
+    rng = np.random.default_rng(1)
+    src = _smooth(rng.uniform(-1, 1, (80, 64, 3)))
+    gen = _smooth(rng.uniform(-1, 1, (128, 160, 3)))  # different size: ok
+    rep = texture_quality_report(src, gen)
+    assert set(rep) == {"sifid_rand", "gram_dist", "spectrum_dist", "color_hist_chi2"}
+    assert all(np.isfinite(v) for v in rep.values())

@@ -44,3 +44,44 @@ def test_tile_process_matches_single_pass_interior():
     a = np.asarray(full)[:, : 16 * 8, : 16 * 8]
     b = np.asarray(tiled)[:, : 16 * 8, : 16 * 8]
     np.testing.assert_allclose(a, b, atol=1e-4, rtol=1e-4)
+
+
+def test_streamed_canvas_equals_generate_canvas(tmp_path):
+    """generate_canvas_streamed writes byte-identical pixels to the in-memory
+    engine's uint8 image, across multiple bands (row overlap protocol) and a
+    non-multiple output size."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+    from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+    from infinite_texture_gans_tpu.sampling.latents import build_z_full
+    from infinite_texture_gans_tpu.sampling.stream import (
+        _to_uint8,
+        generate_canvas_streamed,
+    )
+
+    gen = ResidualPatchGenerator(
+        z_dim=8, G_ch=8, base_res=4, n_layers_G=4, attention=False, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding="replicate",
+    )
+    z0 = jax.numpy.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    P = gen.patch_resolution
+    out_h, out_w = 7 * P - 13, 5 * P - 7  # 3x2 steps, ragged crop
+    z = build_z_full(jax.random.key(5), 1, 8, 4, 7, 5)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    path = generate_canvas_streamed(
+        gen, variables, jax.random.key(0), out_h, out_w,
+        str(tmp_path / "c.png"), z_full=z,
+    )
+    img = np.asarray(Image.open(path))
+    assert img.shape == (out_h, out_w, 3)
+    np.testing.assert_array_equal(img, _to_uint8(ref[0]))
