@@ -78,10 +78,16 @@ def main() -> None:
     jax.block_until_ready(state.params_G)
     setup_s = time.time() - t_setup
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "20"))
+    n_steps = int(os.environ.get("BENCH_STEPS", "40"))
+    # pre-split keys ON DEVICE and materialize the list BEFORE the timer:
+    # both a fresh jax.random.key(i) and a first key-array index inside the
+    # loop would remote-compile/transfer through the axon tunnel and poison
+    # the measurement (the train loop pre-splits per epoch the same way)
+    step_keys = list(jax.random.split(jax.random.key(2), n_steps))
+    jax.block_until_ready(step_keys)
     t0 = time.time()
     for i in range(n_steps):
-        state, metrics = step(state, real, jax.random.key(2 + i))
+        state, metrics = step(state, real, step_keys[i])
     jax.block_until_ready(state.params_G)
     dt = time.time() - t0
     steps_per_sec = n_steps / dt
@@ -159,6 +165,27 @@ def main() -> None:
     seam_g0 = seam_mse(pbp_g0, G.patch_resolution)
     natural_g0 = adjacent_mse_baseline(pbp_g0)
 
+    # Trained-model seam check — the SELF-PROVING seam number (the fields
+    # above use the bench's own 21-step net and measure the TPU
+    # accumulation-noise floor instead; see seam_note). Runs when the
+    # bundled trained checkpoint is present.
+    trained_seam = {}
+    ckpt_path = os.path.join("examples", "241_300ep_ema.ckpt")
+    if os.path.exists(ckpt_path):
+        from infinite_texture_gans_tpu.train.checkpoint import (
+            load_generator_from_checkpoint,
+        )
+
+        Gt, vt, _ = load_generator_from_checkpoint(ckpt_path)
+        img_t = generate_canvas(Gt, vt, jax.random.key(21), 1024, 1024, num_images=1)
+        s_t = seam_mse(img_t, Gt.patch_resolution)
+        n_t = adjacent_mse_baseline(img_t)
+        trained_seam = {
+            "seam_ratio_trained_1024": round(s_t / max(n_t, 1e-12), 4),
+            "seam_mse_trained_1024": s_t,
+            "adjacent_mse_natural_trained": n_t,
+        }
+
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
         try:
@@ -190,6 +217,7 @@ def main() -> None:
                 "seam/natural ratio is 1.02 at 4096^2 (README)."
             ),
             "engine_vs_onepass_max_err": engine_max_err,
+            **trained_seam,
             "setup_compile_s": round(setup_s, 1),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

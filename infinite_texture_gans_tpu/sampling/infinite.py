@@ -132,6 +132,24 @@ def generate_canvas(
     canvas = np.zeros(
         (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32
     )
+
+    def flush(r, subs):
+        # One D2H copy per row; write each sub-image into the canvas — later
+        # writes overwrite the re-generated right patch-column / bottom
+        # patch-row (last-writer-wins == reference crop protocol,
+        # utils.py:364-377).
+        subs_np = np.asarray(subs)  # (steps_w, N, gh*P, gw*P, C)
+        for c in range(steps_w):
+            canvas[
+                :,
+                r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
+                c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
+                :,
+            ] = subs_np[c]
+        if progress:
+            print(f"  row {r + 1}/{steps_h} ({steps_w} sub-images)", flush=True)
+
+    pending = None
     for r in range(steps_h):
         r0 = r * (gh - 1) * base
         z_strip = z_full[:, r0 : r0 + gh * base + latents.Z_PAD, :, :]
@@ -151,20 +169,14 @@ def generate_canvas(
         subs, halo = _row_scan(
             gen, variables, z_strip, maps_strips, halo, jnp.bool_(r == 0), steps_w
         )
-        # One D2H copy per row; write each sub-image into the canvas — later
-        # writes overwrite the re-generated right patch-column / bottom
-        # patch-row (last-writer-wins == reference crop protocol,
-        # utils.py:364-377).
-        subs_np = np.asarray(subs)  # (steps_w, N, gh*P, gw*P, C)
-        for c in range(steps_w):
-            canvas[
-                :,
-                r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
-                c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
-                :,
-            ] = subs_np[c]
-        if progress:
-            print(f"  row {r + 1}/{steps_h} ({steps_w} sub-images)", flush=True)
+        try:  # start the D2H early; consume after the NEXT row is dispatched
+            subs.copy_to_host_async()
+        except AttributeError:  # pragma: no cover - non-array backends
+            pass
+        if pending is not None:
+            flush(*pending)
+        pending = (r, subs)
+    flush(*pending)
     return canvas[:, :output_resolution_height, :output_resolution_width, :]
 
 
