@@ -165,3 +165,18 @@ def test_shard_batch_layout():
     y = shard_batch(x, mesh)
     assert y.sharding.spec == P("data")
     assert len(y.sharding.device_set) == 8
+
+
+def test_wavefront_rejects_narrow_grid(gen_and_vars):
+    """num_patches_w < 3 would race the lag-2 row buffer; must raise."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen, variables = gen_and_vars
+    mesh = make_mesh("data:8")
+    g2 = gen.clone(num_patches_w=2)
+    with pytest.raises(ValueError, match="num_patches_w"):
+        generate_canvas_wavefront(
+            g2, variables, jax.random.key(0), 128, 128, mesh
+        )

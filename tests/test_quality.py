@@ -66,3 +66,26 @@ def test_report_size_agnostic():
     rep = texture_quality_report(src, gen)
     assert set(rep) == {"sifid_rand", "gram_dist", "spectrum_dist", "color_hist_chi2"}
     assert all(np.isfinite(v) for v in rep.values())
+
+
+def test_quality_cli_main(tmp_path, monkeypatch, capsys):
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from infinite_texture_gans_tpu.utils import quality
+
+    rng = np.random.default_rng(2)
+    for name in ("src.png", "gen.png"):
+        Image.fromarray(
+            rng.integers(0, 255, (48, 48, 3), dtype=np.uint8)
+        ).save(tmp_path / name)
+    monkeypatch.setattr(
+        "sys.argv",
+        ["quality", "--image", str(tmp_path / "gen.png"),
+         "--data_path", str(tmp_path / "src.png"), "--self_baseline"],
+    )
+    quality.main()
+    rep = json.loads(capsys.readouterr().out.strip())
+    assert "sifid_rand" in rep and "baseline_self" in rep

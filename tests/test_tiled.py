@@ -85,3 +85,28 @@ def test_streamed_canvas_equals_generate_canvas(tmp_path):
     img = np.asarray(Image.open(path))
     assert img.shape == (out_h, out_w, 3)
     np.testing.assert_array_equal(img, _to_uint8(ref[0]))
+
+
+def test_streaming_png_writer_errors_and_gray(tmp_path):
+    """Writer: grayscale support, row cropping, early-close detection."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from infinite_texture_gans_tpu.sampling.stream import StreamingPNGWriter
+
+    p = str(tmp_path / "g.png")
+    w = StreamingPNGWriter(p, 5, 7, channels=1)
+    rows = (np.arange(5 * 7).reshape(5, 7, 1) * 7 % 256).astype(np.uint8)
+    w.write_rows(rows[:3])
+    w.write_rows(rows[3:])
+    w.write_rows(rows[:2])  # beyond height: ignored
+    w.close()
+    np.testing.assert_array_equal(np.asarray(Image.open(p)), rows[:, :, 0])
+
+    w2 = StreamingPNGWriter(str(tmp_path / "e.png"), 4, 4, channels=3)
+    w2.write_rows(np.zeros((2, 4, 3), np.uint8))
+    with pytest.raises(ValueError, match="closed early"):
+        w2.close()
+    with pytest.raises(ValueError):
+        StreamingPNGWriter(str(tmp_path / "x.png"), 2, 2, channels=4)
