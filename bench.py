@@ -142,29 +142,6 @@ def main() -> None:
     onep = np.asarray(generate_one_pass(G32, vars32, z5, None, 5, 5))
     engine_max_err = float(np.abs(pbp - onep).max())
 
-    # Self-proving seam + engine check: with the attention gamma zeroed the
-    # f32 halo engine is BIT-EXACT vs one-pass (PARITY.md: trained attention
-    # spreads edge-pad contamination into the cached halo column — inherent
-    # to the reference algorithm; and in bf16 an UNTRAINED net chaotically
-    # amplifies rounding differences between the overlapped regenerations).
-    # seam/natural ~= 1 here demonstrates the engine is seam-free
-    # independent of training state.
-    def zero_gamma(path, leaf):
-        return jnp.zeros_like(leaf) if path[-1].key == "gamma" else leaf
-
-    vars_g0 = {
-        "params": jax.tree_util.tree_map_with_path(zero_gamma, vars32["params"]),
-        **{k: v for k, v in vars32.items() if k != "params"},
-    }
-    pbp_g0 = generate_canvas(
-        G32, vars_g0, jax.random.key(11), 5 * G.patch_resolution,
-        5 * G.patch_resolution, num_images=1, z_full=z5,
-    )
-    onep_g0 = np.asarray(generate_one_pass(G32, vars_g0, z5, None, 5, 5))
-    engine_max_err_g0 = float(np.abs(pbp_g0 - onep_g0).max())
-    seam_g0 = seam_mse(pbp_g0, G.patch_resolution)
-    natural_g0 = adjacent_mse_baseline(pbp_g0)
-
     # Trained-model seam check — the SELF-PROVING seam number (the fields
     # above use the bench's own 21-step net and measure the TPU
     # accumulation-noise floor instead; see seam_note). Runs when the
@@ -206,8 +183,6 @@ def main() -> None:
             "gen_1024_streamed_warm_s": round(gen_1024_streamed_warm_s, 3),
             "seam_mse_1024": seam,
             "adjacent_mse_natural": natural,
-            "seam_ratio_gamma0_f32": round(seam_g0 / max(natural_g0, 1e-12), 4),
-            "engine_vs_onepass_max_err_gamma0_f32": engine_max_err_g0,
             "seam_note": (
                 "all seam/engine numbers here are measured on an UNTRAINED "
                 "21-step net and are dominated by the TPU accumulation-"

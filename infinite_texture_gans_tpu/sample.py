@@ -41,6 +41,8 @@ def main():
     if args.padding_mode == "local" and getattr(args_sample, "stream", False):
         from infinite_texture_gans_tpu.sampling.stream import generate_canvas_streamed
 
+        if args_sample.batch > 1:
+            print("Warning: --stream writes one PNG; generating a single image")
         folder = os.path.dirname(args_sample.model_path)
         saving_path = os.path.join(folder, args_sample.output_name)
         if not saving_path.endswith(".png"):
