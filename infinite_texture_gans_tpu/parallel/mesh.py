@@ -43,11 +43,18 @@ def make_mesh(
         return None
     all_devices = jax.devices()
     if device_list:
-        bad = [i for i in device_list if i >= len(all_devices)]
+        bad = [i for i in device_list if i < 0 or i >= len(all_devices)]
         if bad:
             raise ValueError(
                 f"--gpu_list indices {bad} out of range: only "
                 f"{len(all_devices)} devices available"
+            )
+        if len(set(device_list)) != len(device_list):
+            raise ValueError(f"--gpu_list contains duplicates: {device_list}")
+        if len(device_list) < n:
+            raise ValueError(
+                f"--gpu_list has {len(device_list)} entries but the mesh "
+                f"needs {n} devices"
             )
         devices = [all_devices[i] for i in device_list[:n]]
     else:

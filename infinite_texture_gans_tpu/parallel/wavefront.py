@@ -198,34 +198,19 @@ def generate_canvas_wavefront(
         )
     n_maps = len(maps_full) if maps_full is not None else 0
 
-    z_rows_h = gh * base + latents.Z_PAD
     n_bands = ceil(steps_h / n_dev)
 
     def strips_for_band(b):
         """Per-device row strips (device d gets ONLY its rows — the inputs
-        are sharded on the mesh axis, not replicated)."""
+        are sharded on the mesh axis, not replicated). Index arithmetic
+        lives in latents.row_strips."""
         rows = [min(b * n_dev + d, steps_h - 1) for d in range(n_dev)]
-        z_b = jnp.stack(
-            [
-                z_full[:, r * (gh - 1) * base : r * (gh - 1) * base + z_rows_h]
-                for r in rows
-            ]
-        )
+        per_row = [latents.row_strips(z_full, maps_full, r, base, gh) for r in rows]
+        z_b = jnp.stack([z for z, _ in per_row])
         maps_b = ()
         if maps_full is not None:
             maps_b = tuple(
-                jnp.stack(
-                    [
-                        m[
-                            :,
-                            r * (gh - 1) * (2**i) * base : r * (gh - 1) * (2**i) * base
-                            + gh * (2**i) * base
-                            + latents.MAP_PAD,
-                        ]
-                        for r in rows
-                    ]
-                )
-                for i, m in enumerate(maps_full)
+                jnp.stack([ms[i] for _, ms in per_row]) for i in range(n_maps)
             )
         return z_b, maps_b
 

@@ -38,6 +38,11 @@ def main():
     seed = args_sample.seed if args_sample.seed is not None else 0
     key = jax.random.key(seed)
 
+    if getattr(args_sample, "stream", False) and args.padding_mode != "local":
+        print(
+            "Warning: --stream requires a local-padding checkpoint; the "
+            "zeros-padding path generates in host memory instead"
+        )
     if args.padding_mode == "local" and getattr(args_sample, "stream", False):
         from infinite_texture_gans_tpu.sampling.stream import generate_canvas_streamed
 

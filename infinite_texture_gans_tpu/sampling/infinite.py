@@ -151,21 +151,7 @@ def generate_canvas(
 
     pending = None
     for r in range(steps_h):
-        r0 = r * (gh - 1) * base
-        z_strip = z_full[:, r0 : r0 + gh * base + latents.Z_PAD, :, :]
-        maps_strips = None
-        if maps_full is not None:
-            maps_strips = [
-                m[
-                    :,
-                    r * (gh - 1) * (2**i) * base : r * (gh - 1) * (2**i) * base
-                    + gh * (2**i) * base
-                    + latents.MAP_PAD,
-                    :,
-                    :,
-                ]
-                for i, m in enumerate(maps_full)
-            ]
+        z_strip, maps_strips = latents.row_strips(z_full, maps_full, r, base, gh)
         subs, halo = _row_scan(
             gen, variables, z_strip, maps_strips, halo, jnp.bool_(r == 0), steps_w
         )

@@ -127,6 +127,27 @@ def slice_sub_maps(maps_full, r: int, c: int, base_res: int, gh: int, gw: int):
     return out
 
 
+def row_strips(z_full, maps_full, r: int, base_res: int, gh: int):
+    """Full-width latent/map strips for canvas row ``r`` — the ONE place the
+    row-overlap index arithmetic lives (stride (gh-1)*res, height gh*res +
+    pad; consumed by the raster engine, the streamed engine and the
+    wavefront)."""
+    r0 = r * (gh - 1) * base_res
+    z_strip = z_full[:, r0 : r0 + gh * base_res + Z_PAD]
+    maps_strips = None
+    if maps_full is not None:
+        maps_strips = [
+            m[
+                :,
+                r * (gh - 1) * (2**i) * base_res : r * (gh - 1) * (2**i) * base_res
+                + gh * (2**i) * base_res
+                + MAP_PAD,
+            ]
+            for i, m in enumerate(maps_full)
+        ]
+    return z_strip, maps_strips
+
+
 def truncated_normal_z(
     key: jax.Array, truncated: float, z_dim: int, b_size: int
 ) -> jnp.ndarray:

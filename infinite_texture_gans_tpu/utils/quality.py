@@ -22,6 +22,7 @@ Usage (CLI):
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 from typing import Callable, List, Optional
 
@@ -34,12 +35,21 @@ import numpy as np
 # Feature extractor (pluggable; default = fixed random conv pyramid)
 
 
+@functools.lru_cache(maxsize=4)
+def _default_features(seed: int, depths, kernel: int):
+    return random_conv_features(jax.random.key(seed), depths, kernel)
+
+
 def random_conv_features(
     key: jax.Array = None, depths=(16, 32, 64), kernel: int = 5
 ) -> Callable[[jnp.ndarray], List[jnp.ndarray]]:
     """A fixed random conv/ReLU/avgpool pyramid: img (N, H, W, 3) in [-1, 1]
-    -> list of (N, h_i, w_i, c_i) feature maps, one per level."""
-    key = key if key is not None else jax.random.key(1234)
+    -> list of (N, h_i, w_i, c_i) feature maps, one per level.
+
+    With no key, returns a CACHED default extractor (each call would
+    otherwise build a fresh jit closure and recompile)."""
+    if key is None:
+        return _default_features(1234, tuple(depths), kernel)
     keys = jax.random.split(key, len(depths))
     kernels = []
     cin = 3
@@ -160,14 +170,13 @@ def radial_spectrum(img: np.ndarray, bins: int = 64) -> np.ndarray:
     # normalize by pixel count: comparable across image sizes
     f = np.abs(np.fft.fftshift(np.fft.fft2(gray))) ** 2 / gray.size
     h, w = f.shape
-    yy, xx = np.mgrid[0:h, 0:w]
-    r = np.hypot(yy - h / 2, xx - w / 2)
-    r = (r / (r.max() + 1e-9) * (bins - 1)).astype(np.int32)
-    out = np.zeros(bins)
-    for i in range(bins):
-        m = r == i
-        out[i] = np.log1p(f[m].mean()) if m.any() else 0.0
-    return out
+    ry = (np.arange(h) - h / 2)[:, None]
+    rx = (np.arange(w) - w / 2)[None, :]
+    r = np.hypot(ry, rx)
+    r = (r / (r.max() + 1e-9) * (bins - 1)).astype(np.int32).ravel()
+    sums = np.bincount(r, weights=f.ravel(), minlength=bins)
+    counts = np.bincount(r, minlength=bins)
+    return np.log1p(sums / np.maximum(counts, 1))
 
 
 def spectrum_distance(a: np.ndarray, b: np.ndarray, bins: int = 64) -> float:
