@@ -234,7 +234,9 @@ class ResidualPatchGenerator(nn.Module):
             )(h, site("final"), pos, chw_fold=fold)
             if halo is not None:
                 halo_out["final"] = hf
-            out = jnp.transpose(jnp.tanh(h), (0, 2, 3, 1))
+            # tanh AFTER the transpose: XLA fuses it into the relayout copy
+            # instead of materializing a CHW tanh + two layout round-trips
+            out = jnp.tanh(jnp.transpose(h, (0, 2, 3, 1)))
             return out, (halo_out if halo is not None else None)
 
         if self.type_norm == "BN":
