@@ -180,3 +180,32 @@ def test_wavefront_rejects_narrow_grid(gen_and_vars):
         generate_canvas_wavefront(
             g2, variables, jax.random.key(0), 128, 128, mesh
         )
+
+
+def test_wavefront_chw_tail_matches_sequential():
+    """Wavefront with the channels-major Pallas halo path forced — the
+    combination a multi-chip TPU deployment runs with chw_tail auto. The
+    halo kernel's injections must behave identically inside the band scan
+    under shard_map."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen = tiny_gen(chw_tail="on")
+    z0 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    mesh = make_mesh("data:8")
+    P_res = gen.patch_resolution
+    out_h, out_w = 5 * P_res, 7 * P_res
+    z = build_z_full(jax.random.key(12), 1, 8, 4, 5, 7)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    out = generate_canvas_wavefront(
+        gen, variables, jax.random.key(0), out_h, out_w, mesh,
+        num_images=1, z_full=z,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
