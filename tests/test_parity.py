@@ -207,3 +207,64 @@ def test_stateful_patch_by_patch_parity():
         z_full=jnp.asarray(_to_nhwc(z_full_t)),
     )
     np.testing.assert_allclose(canvas, _to_nhwc(img_t), atol=5e-5, rtol=1e-4)
+
+
+def test_reference_pth_checkpoint_roundtrip(tmp_path):
+    """A reference-format torch.save checkpoint (train.py:200-209: dict with
+    epoch/netG_state_dict/netD_state_dict/args Namespace/seed, incl. the
+    DataParallel 'module.' prefix) loads through load_generator_from_checkpoint
+    and generates the same pixels as the directly-imported weights."""
+    torch = _torch_setup()
+    from models.generators import ResidualPatchGenerator as TorchG
+
+    from infinite_texture_gans_tpu.config import prepare_parser
+    from infinite_texture_gans_tpu.train.checkpoint import (
+        load_generator_from_checkpoint,
+    )
+
+    cfg = dict(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=4, attention=True, img_ch=3,
+        leak=0.0, SN=False, type_norm="BN", map_dim=2,
+        padding_mode="local", outer_padding="replicate",
+        num_patches_h=3, num_patches_w=3,
+    )
+    tg = TorchG(**cfg)
+    tg.eval()
+
+    args = prepare_parser().parse_args([])
+    args.z_dim = 16
+    args.G_ch = 8
+    args.n_layers_G = 4
+    args.attention = True
+    args.type_norm_G = "BN"
+    args.map_dim = 2
+    args.padding_mode = "local"
+
+    sd = {f"module.{k}": v for k, v in tg.state_dict().items()}  # DataParallel
+    path = str(tmp_path / "ref.pth")
+    torch.save(
+        {
+            "epoch": 7,
+            "netG_state_dict": sd,
+            "netD_state_dict": {},
+            "Gloss": [1.0],
+            "Dloss": [1.0],
+            "args": args,
+            "seed": 3,
+        },
+        path,
+    )
+
+    netG, variables, loaded_args = load_generator_from_checkpoint(path)
+    assert loaded_args.n_layers_G == 4
+
+    variables_direct = import_generator(
+        tg.state_dict(), n_layers_G=4, type_norm="BN", attention=True
+    )
+    z = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (1, 14, 14, 16), dtype=np.float32))
+    out_a, _ = jax.jit(lambda v, z: netG.apply(v, z, train=False))(variables, z)
+    out_b, _ = jax.jit(lambda v, z: netG.apply(v, z, train=False))(
+        variables_direct, z
+    )
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
