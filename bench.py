@@ -106,7 +106,9 @@ def main() -> None:
 
     from infinite_texture_gans_tpu.utils.metrics import adjacent_mse_baseline, seam_mse
 
-    seam = seam_mse(img, G.patch_resolution)
+    # width=1 keeps the metric comparable with rounds 1-2 (and with
+    # adjacent_mse_baseline, which is also a 1-line statistic)
+    seam = seam_mse(img, G.patch_resolution, width=1)
     natural = adjacent_mse_baseline(img)
 
     # Streamed engine: device-side uint8 + overlap trimming + async D2H
@@ -155,7 +157,7 @@ def main() -> None:
 
         Gt, vt, _ = load_generator_from_checkpoint(ckpt_path)
         img_t = generate_canvas(Gt, vt, jax.random.key(21), 1024, 1024, num_images=1)
-        s_t = seam_mse(img_t, Gt.patch_resolution)
+        s_t = seam_mse(img_t, Gt.patch_resolution, width=1)
         n_t = adjacent_mse_baseline(img_t)
         trained_seam = {
             "seam_ratio_trained_1024": round(s_t / max(n_t, 1e-12), 4),

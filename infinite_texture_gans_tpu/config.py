@@ -71,7 +71,11 @@ def prepare_parser() -> argparse.ArgumentParser:
     parser.add_argument('--loss', type=str, default='standard',
                         help='loss function: standard, hinge or wgan '
                              '(implemented here; the reference parsed but ignored it, '
-                             'hard-coding BCE — reference train.py:81)')
+                             'hard-coding BCE — reference train.py:81). '
+                             'wgan trains WGAN-GP: critic loss + gp_weight * '
+                             'gradient penalty on real/fake interpolates')
+    parser.add_argument('--gp_weight', type=float, default=10.0,
+                        help='WGAN-GP gradient-penalty weight (only with --loss wgan)')
     parser.add_argument('--disc_iters', type=int, default=1,
                         help='D updates per G update')
     parser.add_argument('--epochs', type=int, default=1, help='number of epochs')

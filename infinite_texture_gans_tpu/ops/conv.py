@@ -23,9 +23,11 @@ from jax import lax
 orthogonal = nn.initializers.orthogonal
 
 
-def bn_scale_init(key, shape, dtype=jnp.float32):
-    """BatchNorm scale ~ N(1, 0.02) (reference utils.py:752-754)."""
-    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+# NOTE: the reference's init_weight has an N(1, 0.02) branch for BatchNorm
+# scales (utils.py:752-754), but it is dead code there — .apply(init_weight)
+# is only called on the Conv/Linear factories (models/layers.py:180-200),
+# never on BatchNorm2d instances — so torch's default ones-init is what the
+# reference actually uses, and flax's default matches it. See PARITY.md.
 
 
 def spectral_normalize(

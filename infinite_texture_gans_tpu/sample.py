@@ -21,10 +21,12 @@ from infinite_texture_gans_tpu.train.checkpoint import load_generator_from_check
 
 def save_image(img: np.ndarray, path: str) -> None:
     """(H, W, C) float in [-1, 1] -> image file ((img*0.5+0.5), reference
-    test_sample.py:79)."""
+    test_sample.py:79). Rounds like torchvision's save_image
+    (mul(255).add_(0.5) before the uint8 cast) so the bytes match both the
+    reference and the streamed path's ``_to_uint8``."""
     from PIL import Image
 
-    arr = np.clip((img * 0.5 + 0.5) * 255.0, 0, 255).astype(np.uint8)
+    arr = np.clip((img * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = arr[:, :, 0]
     Image.fromarray(arr).save(path)

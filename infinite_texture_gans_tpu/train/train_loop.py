@@ -136,6 +136,8 @@ def train(args) -> None:
         num_images=args.num_images,
         ema_decay=args.ema_decay,
         use_ema=args.ema,
+        gp_weight=getattr(args, "gp_weight", 10.0),
+        mesh=mesh,
     )
 
     filename = prepare_filename(args)

@@ -139,11 +139,39 @@ def make_train_step(
     num_images: int = 8,
     ema_decay: float = 0.999,
     use_ema: bool = False,
+    gp_weight: float = 10.0,
+    mesh=None,
 ) -> Callable:
-    """Build the jitted train step: (state, real_x, key) -> (state, metrics)."""
+    """Build the jitted train step: (state, real_x, key) -> (state, metrics).
+
+    ``loss_type='wgan'`` trains WGAN-GP: the critic loss gains
+    ``gp_weight * gradient_penalty`` on real/fake interpolates
+    (train/losses.py: gradient_penalty) — without it a WGAN critic is
+    unconstrained and diverges. The reference parsed but ignored the flag
+    (reference utils.py:85-86)."""
     label_t = 0.9 if smooth else 1.0
     gh, gw = G.num_patches_h, G.num_patches_w
     local = G.padding_mode == "local"
+
+    # Data-parallel G: z/maps are drawn inside the jit from a replicated key,
+    # so without a constraint GSPMD replicates the entire G forward/backward
+    # on every device (the D grads all-reduce, the G grads never need to —
+    # verified in tests/test_parallel.py::test_train_step_collective_layout).
+    # Pinning the freshly drawn latents to the data axis makes the G path
+    # genuinely sharded; BN stats then all-reduce to the same GLOBAL batch
+    # statistics (PARITY.md semantics unchanged).
+    shard_fakes = (
+        mesh is not None and num_images % mesh.size == 0 and num_images >= mesh.size
+    )
+    if shard_fakes:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    def _constrain(x):
+        if shard_fakes and x is not None:
+            return jax.lax.with_sharding_constraint(x, _batch_sharding)
+        return x
 
     def sample_z_maps(key):
         zk, mk = jax.random.split(key)
@@ -166,6 +194,9 @@ def make_train_step(
                     )
                     for i in range(G.n_layers_G)
                 ]
+        z = _constrain(z)
+        if maps is not None:
+            maps = [_constrain(m) for m in maps]
         return z, maps
 
     def g_forward(params_G, aux_G, z, maps):
@@ -217,7 +248,19 @@ def make_train_step(
                 fl, aux2 = d_apply(p, aux1, fake)
                 lr_ = L.d_loss_real(loss_type, rl, label_t)
                 lf_ = L.d_loss_fake(loss_type, fl, 0.0)
-                return lr_ + lf_, (aux2, lr_, lf_)
+                total = lr_ + lf_
+                if loss_type == "wgan" and gp_weight > 0:
+                    # frozen-aux critic for the penalty: no SN/BN mutation
+                    # inside the double-backward
+                    def critic(x):
+                        out = D.apply({"params": p, **aux2}, x, train=False)
+                        return out[0] if isinstance(out, tuple) else out
+
+                    gp = L.gradient_penalty(
+                        critic, real_x, fake, jax.random.fold_in(keys[it], 7)
+                    )
+                    total = total + gp_weight * gp
+                return total, (aux2, lr_, lf_)
 
             grads, (aux_D, lr_, lf_) = jax.grad(d_loss_fn, has_aux=True)(
                 params_D, aux_D

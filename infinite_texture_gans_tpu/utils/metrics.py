@@ -11,19 +11,24 @@ def seam_mse(img: np.ndarray, patch_res: int, width: int = 2) -> float:
     For every interior patch boundary, compares the ``width``-pixel band on
     either side: a seam-free image has the same statistics across boundaries
     as anywhere else. Returns mean over all vertical+horizontal boundaries of
-    ``mean((left_edge - right_edge)^2)`` for directly adjacent pixel lines.
+    ``mean((left_band - right_band)^2)`` where each band holds the ``width``
+    pixel lines nearest the boundary (line k on the left is paired with line
+    k on the right, both counted outward from the seam).
 
     img: (N, H, W, C) in [-1, 1].
     """
     n, h, w, c = img.shape
+    width = max(1, int(width))
     diffs = []
     for x in range(patch_res, w, patch_res):
-        a = img[:, :, x - 1, :]
-        b = img[:, :, x, :]
+        wb = min(width, x, w - x)
+        a = img[:, :, x - wb : x, :][:, :, ::-1, :]  # outward from seam
+        b = img[:, :, x : x + wb, :]
         diffs.append(np.mean((a - b) ** 2))
     for y in range(patch_res, h, patch_res):
-        a = img[:, y - 1, :, :]
-        b = img[:, y, :, :]
+        wb = min(width, y, h - y)
+        a = img[:, y - wb : y, :, :][:, ::-1, :, :]
+        b = img[:, y : y + wb, :, :]
         diffs.append(np.mean((a - b) ** 2))
     return float(np.mean(diffs)) if diffs else 0.0
 

@@ -89,3 +89,45 @@ def test_quality_cli_main(tmp_path, monkeypatch, capsys):
     quality.main()
     rep = json.loads(capsys.readouterr().out.strip())
     assert "sifid_rand" in rep and "baseline_self" in rep
+
+
+def test_frechet_distance_known_gaussians():
+    """Closed-form check: FID(N(0, I), N(0, 4I)) in 3-d is
+    tr(I) + tr(4I) - 2 tr(sqrt(4I)) = 3 + 12 - 12 = 3."""
+    import numpy as np
+
+    from infinite_texture_gans_tpu.utils.quality import frechet_distance
+
+    mu = np.zeros(3)
+    d = frechet_distance(mu, np.eye(3), mu, 4 * np.eye(3))
+    assert d == pytest.approx(3.0, abs=1e-9)
+    # and the mean term: FID(N(m1, I), N(m2, I)) = |m1 - m2|^2
+    d2 = frechet_distance(np.array([1.0, 2.0, 3.0]), np.eye(3), mu, np.eye(3))
+    assert d2 == pytest.approx(14.0, abs=1e-9)
+
+
+def test_sifid_pluggable_extractor_exact():
+    """End-to-end proof that features_fn injection computes the exact SIFID
+    math (VERDICT r2 #10): with an identity extractor, SIFID on hand-built
+    images reduces to a closed-form Frechet distance."""
+    import numpy as np
+
+    from infinite_texture_gans_tpu.utils.quality import sifid
+
+    identity = lambda img: [img]  # one pyramid level: raw pixels
+    h = w = 16
+    a, b, s = 0.3, -0.1, 0.25
+    real = np.full((h, w, 3), a, np.float32)
+    # fake: half the pixels at b+s, half at b-s (same in all channels) ->
+    # sample mean b exactly; np.cov (ddof=1) = N s^2/(N-1) * ones(3,3)
+    fake = np.full((h, w, 3), b, np.float32)
+    fake[: h // 2] += s
+    fake[h // 2 :] -= s
+    n = h * w
+    expect = 3 * (a - b) ** 2 + 3 * n * s**2 / (n - 1)
+    got = sifid(real, fake, features_fn=identity, level=0)
+    assert got == pytest.approx(expect, rel=1e-5)
+    # identical inputs -> exactly zero
+    assert sifid(fake, fake, features_fn=identity, level=0) == pytest.approx(
+        0.0, abs=1e-7
+    )
