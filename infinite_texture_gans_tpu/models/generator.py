@@ -26,10 +26,15 @@ import jax.numpy as jnp
 def _upsample_nearest_chw(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     """Nearest-neighbour upsample on channels-major (N, C, H, W) arrays.
 
-    jnp.repeat (not reshape+broadcast): the rank-6 broadcast form made XLA
-    pick {1,0,3,2} layouts for its backward reduce, inserting relayout
-    copies at the Pallas-conv boundaries."""
-    return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+    Pallas kernel (ops/pallas_conv.py: upsample2_chw): XLA's repeat fusion
+    prefers non-default layouts, forcing a pair of relayout copies around
+    every adjacent Pallas conv; the kernel pins default layouts on both
+    sides and its backward is the exact 2x2 pair-sum transpose."""
+    if factor != 2:
+        return jnp.repeat(jnp.repeat(x, factor, axis=2), factor, axis=3)
+    from infinite_texture_gans_tpu.ops.pallas_conv import upsample2_chw
+
+    return upsample2_chw(x)
 
 from infinite_texture_gans_tpu.models.layers import (
     ConvLP,
@@ -171,16 +176,47 @@ class ResidualPatchGenerator(nn.Module):
             return cin <= 64 and jax.default_backend() == "tpu"
 
         is_chw = False
+        cur_stats = None  # producer-kernel BN moments threaded block to block
+        want_stats = train and halo is None
+        # Padded-carry (ops/pallas_conv.py): in the BN tail, activations
+        # flow between kernels at physical lane-padded width so no XLA
+        # pad/slice fusion (or its relayout copies) sits between Pallas
+        # calls. SSM interleaves XLA elementwise modulation -> stays on the
+        # unpadded path.
+        pad_carry = self.type_norm == "BN" and halo is None
+        w_true = None
         for i, (cin, cout) in enumerate(plan, start=1):
             if not is_chw and chw_gate(i, cin):
+                if want_stats:
+                    # entry stats for the first chw block's bn1, computed in
+                    # the NHWC layout where the reduce is lane-natural (the
+                    # following nearest-2x upsample preserves mean / E[x^2])
+                    hf = h.astype(jnp.float32)
+                    s1 = jnp.sum(hf, axis=(0, 1, 2))
+                    s2 = jnp.sum(jnp.square(hf), axis=(0, 1, 2))
+                    cur_stats = (s1, s2, h.shape[0] * h.shape[1] * h.shape[2])
                 h = jnp.transpose(h, (0, 3, 1, 2))
                 is_chw = True
+                if pad_carry:
+                    from infinite_texture_gans_tpu.ops.pallas_conv import _pad_w_lanes
+
+                    w_true = h.shape[3]
+                    h = _pad_w_lanes(
+                        h, "zeros" if self.outer_padding == "constant" else "edge"
+                    )
             if i > 1:
-                h = _upsample_nearest_chw(h, 2) if is_chw else upsample_nearest(h, 2)
+                if is_chw and w_true is not None:
+                    from infinite_texture_gans_tpu.ops.pallas_conv import upsample2_chw_p
+
+                    fill = "zeros" if self.outer_padding == "constant" else "edge"
+                    h = upsample2_chw_p(h, w_true, fill)
+                    w_true *= 2
+                else:
+                    h = _upsample_nearest_chw(h, 2) if is_chw else upsample_nearest(h, 2)
             bname = f"block{i}"
             h1 = site(f"{bname}.conv1")
             h2 = site(f"{bname}.conv2")
-            h, h1, h2 = ResBlockGenerator(
+            h, h1, h2, out_stats = ResBlockGenerator(
                 in_features=cin,
                 features=cout,
                 type_norm=self.type_norm,
@@ -195,7 +231,10 @@ class ResidualPatchGenerator(nn.Module):
             )(
                 h, maps[i - 1], h1, h2, pos,
                 train=train, update_sn=update_sn, chw=is_chw,
+                in_stats=cur_stats if is_chw else None,
+                pad_w_true=w_true,
             )
+            cur_stats = out_stats if is_chw else None
             if halo is not None:
                 halo_out[f"{bname}.conv1"] = h1
                 halo_out[f"{bname}.conv2"] = h2
@@ -215,7 +254,7 @@ class ResidualPatchGenerator(nn.Module):
             from infinite_texture_gans_tpu.models.layers import BNFold
 
             if self.type_norm == "BN":
-                scf, shf = BNFold(name="bn")(h, train=train)
+                scf, shf = BNFold(name="bn")(h, train=train, stats=cur_stats)
                 fold = (scf, shf, True)
             else:
                 # SSM mode has no final norm: plain activation before the conv
@@ -231,9 +270,11 @@ class ResidualPatchGenerator(nn.Module):
                 gw=gw,
                 dtype=self.dtype,
                 name="final",
-            )(h, site("final"), pos, chw_fold=fold)
+            )(h, site("final"), pos, chw_fold=fold, pad_w_true=w_true)
             if halo is not None:
                 halo_out["final"] = hf
+            if w_true is not None and h.shape[3] != w_true:
+                h = h[..., :w_true]  # drop the padded-carry lanes once
             # tanh AFTER the transpose: XLA fuses it into the relayout copy
             # instead of materializing a CHW tanh + two layout round-trips
             out = jnp.tanh(jnp.transpose(h, (0, 2, 3, 1)))

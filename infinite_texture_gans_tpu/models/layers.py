@@ -25,7 +25,11 @@ from infinite_texture_gans_tpu.ops.pallas_conv import (
     chw_halo_step,
     conv1x1_chw,
     conv1x1_chw_add,
+    conv1x1_chw_add_p,
+    conv1x1_chw_add_stats,
     conv3x3_chw,
+    conv3x3_chw_p,
+    conv3x3_chw_stats,
 )
 
 
@@ -67,7 +71,7 @@ class BNFold(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x_chw: jnp.ndarray, *, train: bool):
+    def __call__(self, x_chw: jnp.ndarray, *, train: bool, stats=None):
         c = x_chw.shape[1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -78,9 +82,19 @@ class BNFold(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if train:
-            xf = x_chw.astype(jnp.float32)
-            m = jnp.mean(xf, axis=(0, 2, 3))
-            v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
+            if stats is not None:
+                # producer-kernel statistics (Pallas accumulators) — same
+                # moments, no XLA reduce over the big array. ``stats`` may
+                # come from BEFORE a nearest-2x upsample: mean/var are
+                # invariant (each value repeats 4x), count is the
+                # pre-upsample element count matching s1/s2.
+                s1, s2, cnt = stats
+                m = s1 / cnt
+                v = s2 / cnt - jnp.square(m)
+            else:
+                xf = x_chw.astype(jnp.float32)
+                m = jnp.mean(xf, axis=(0, 2, 3))
+                v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
@@ -122,6 +136,8 @@ class ConvLP(nn.Module):
         *,
         update_sn: bool = False,
         chw_fold=None,
+        want_stats: bool = False,
+        pad_w_true: Optional[int] = None,
     ):
         if chw_fold is not None:
             # Channels-major fused path: x is (N, C, H, W); the preceding
@@ -136,6 +152,26 @@ class ConvLP(nn.Module):
                     x, kernel, bias, scale, shift, relu, self.outer_padding,
                     halo, pos, self.gh, self.gw,
                 )
+            if pad_w_true is not None:
+                # padded-carry convention (ops/pallas_conv.py): x arrives at
+                # physical lane width, output keeps the contract
+                out = conv3x3_chw_p(
+                    x, kernel, bias, scale, shift, relu, self.outer_padding,
+                    pad_w_true, want_stats,
+                )
+                if want_stats:
+                    y, s1, s2 = out
+                    cnt = y.shape[0] * y.shape[2] * pad_w_true
+                    return y, halo, (s1, s2, cnt)
+                return out, halo
+            if want_stats:
+                # train-mode tail: the kernel also accumulates the next
+                # BN's batch moments (ops/pallas_conv.py: conv3x3_chw_stats)
+                y, s1, s2 = conv3x3_chw_stats(
+                    x, kernel, bias, scale, shift, relu, self.outer_padding
+                )
+                cnt = y.shape[0] * y.shape[2] * y.shape[3]
+                return y, halo, (s1, s2, cnt)
             y = conv3x3_chw(x, kernel, bias, scale, shift, relu, self.outer_padding)
             return y, halo
         if self.padding_mode == "local":
@@ -200,13 +236,14 @@ class StochasticSpatialModulation(nn.Module):
         train: bool,
         update_sn: bool = False,
         chw: bool = False,
+        stats=None,
     ) -> jnp.ndarray:
         c = x.shape[1] if chw else x.shape[-1]
         if chw:
             # channels-major branch: stats over (N, H, W) of (N, C, H, W),
             # identical variable tree to nn.BatchNorm (batch_stats only —
             # use_scale/use_bias are False in the NHWC branch)
-            out = _StatsBN(name="bn")(x, train=train)
+            out = _StatsBN(name="bn")(x, train=train, stats=stats)
         else:
             out = nn.BatchNorm(
                 use_running_average=not train,
@@ -250,7 +287,7 @@ class _StatsBN(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x_chw: jnp.ndarray, *, train: bool) -> jnp.ndarray:
+    def __call__(self, x_chw: jnp.ndarray, *, train: bool, stats=None) -> jnp.ndarray:
         c = x_chw.shape[1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -259,9 +296,14 @@ class _StatsBN(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
         if train:
-            xf = x_chw.astype(jnp.float32)
-            m = jnp.mean(xf, axis=(0, 2, 3))
-            v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
+            if stats is not None:  # producer-kernel moments (see BNFold)
+                s1, s2, cnt = stats
+                m = s1 / cnt
+                v = s2 / cnt - jnp.square(m)
+            else:
+                xf = x_chw.astype(jnp.float32)
+                m = jnp.mean(xf, axis=(0, 2, 3))
+                v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * m
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * v
@@ -347,6 +389,8 @@ class ResBlockGenerator(nn.Module):
         train: bool,
         update_sn: bool = False,
         chw: bool = False,
+        in_stats=None,
+        pad_w_true: Optional[int] = None,
     ):
         act = activation_fn(self.leak)
         learnable_sc = self.in_features != self.features
@@ -365,6 +409,14 @@ class ResBlockGenerator(nn.Module):
             # scale/shift); SSM's per-pixel modulation is applied as dense
             # channels-major XLA elementwise work and the conv runs with an
             # identity prenorm on the pre-activated values.
+            #
+            # Training-mode statistics thread through the Pallas kernels:
+            # bn1/bn3 consume ``in_stats`` (the previous block's fused
+            # residual-add accumulators — upsample-invariant), bn2 consumes
+            # conv1's accumulators, and the block returns its own output
+            # stats from the fused shortcut+add kernel. No XLA reduce ever
+            # touches the big activations (VERDICT r2 next-#2).
+            want = train and halo1 is None
             c_in = x.shape[1]
             ones1 = jnp.ones((c_in,), jnp.float32)
             zeros1 = jnp.zeros((c_in,), jnp.float32)
@@ -372,40 +424,59 @@ class ResBlockGenerator(nn.Module):
                 a = nn.relu(
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
-                    )(x, maps, train=train, update_sn=update_sn, chw=True)
+                    )(x, maps, train=train, update_sn=update_sn, chw=True,
+                      stats=in_stats)
                 )
-                out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
-                    a, halo1, pos, chw_fold=(ones1, zeros1, False)
+                r1 = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    a, halo1, pos, chw_fold=(ones1, zeros1, False),
+                    want_stats=want,
                 )
+                (out, halo1), st1 = (r1[:2], r1[2] if want else None)
                 onesf = jnp.ones((self.features,), jnp.float32)
                 zerosf = jnp.zeros((self.features,), jnp.float32)
                 a2 = nn.relu(
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
-                    )(out, maps, train=train, update_sn=update_sn, chw=True)
+                    )(out, maps, train=train, update_sn=update_sn, chw=True,
+                      stats=st1)
                 )
                 out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
                     a2, halo2, pos, chw_fold=(onesf, zerosf, False)
                 )
             else:
-                sc1, sh1 = BNFold(name="bn1")(x, train=train)
-                out, halo1 = ConvLP(self.features, name="conv1", **convlp_kw)(
-                    x, halo1, pos, chw_fold=(sc1, sh1, True)
+                sc1, sh1 = BNFold(name="bn1")(x, train=train, stats=in_stats)
+                r1 = ConvLP(self.features, name="conv1", **convlp_kw)(
+                    x, halo1, pos, chw_fold=(sc1, sh1, True), want_stats=want,
+                    pad_w_true=pad_w_true,
                 )
-                sc2, sh2 = BNFold(name="bn2")(out, train=train)
+                (out, halo1), st1 = (r1[:2], r1[2] if want else None)
+                sc2, sh2 = BNFold(name="bn2")(out, train=train, stats=st1)
                 out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
-                    out, halo2, pos, chw_fold=(sc2, sh2, True)
+                    out, halo2, pos, chw_fold=(sc2, sh2, True),
+                    pad_w_true=pad_w_true,
                 )
             sc = x
             if learnable_sc:
                 if self.type_norm == "SSM":
                     sc = StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn3"
-                    )(sc, maps, train=train, update_sn=update_sn, chw=True)
+                    )(sc, maps, train=train, update_sn=update_sn, chw=True,
+                      stats=in_stats)
                 k3, b3 = RawConvParams(self.features, 1, name="conv3")(x.shape[1])
                 # shortcut conv + residual add in ONE kernel pass
-                return conv1x1_chw_add(sc, k3, b3, out), halo1, halo2
-            return out + sc, halo1, halo2
+                if pad_w_true is not None:
+                    out_p = conv1x1_chw_add_p(sc, k3, b3, out, pad_w_true, want)
+                    if want:
+                        y, s1, s2 = out_p
+                        cnt = y.shape[0] * y.shape[2] * pad_w_true
+                        return y, halo1, halo2, (s1, s2, cnt)
+                    return out_p, halo1, halo2, None
+                if want:
+                    y, s1, s2 = conv1x1_chw_add_stats(sc, k3, b3, out)
+                    cnt = y.shape[0] * y.shape[2] * y.shape[3]
+                    return y, halo1, halo2, (s1, s2, cnt)
+                return conv1x1_chw_add(sc, k3, b3, out), halo1, halo2, None
+            return out + sc, halo1, halo2, None
 
         if self.type_norm == "SSM":
             out = act(
@@ -450,7 +521,7 @@ class ResBlockGenerator(nn.Module):
             sc = conv1x1(self.features, self.sn, dtype=self.dtype, name="conv3")(
                 sc, update_sn=update_sn
             )
-        return out + sc, halo1, halo2
+        return out + sc, halo1, halo2, None
 
 
 class ResBlockDiscriminator(nn.Module):

@@ -92,12 +92,38 @@ def _pad_w_lanes(x: jnp.ndarray, fill: str) -> jnp.ndarray:
 
 def _halo_rows(x: jnp.ndarray, bh: int):
     """Top/bottom neighbor rows per H-block, replicate semantics at the
-    canvas border. x (N, C, H, W) -> tops/bots (N, nt, C, W) — the block
-    (1, 1, C, W) then matches full array dims as Mosaic block rules require."""
+    canvas border. x (N, C, H, W) -> tops/bots (N, C, nt, W), i.e. the SAME
+    dim order as x: the strided row slice is then layout-neutral (any
+    transpose here made XLA relayout the big input with full-size copies —
+    ~1.3 ms/step). Kernels fetch the whole (C, nt, W) side array per block
+    (tiny) and pick their row with a ref-level dynamic index
+    (``_halo_row_at``)."""
     n, c, h, w = x.shape
     tops = jnp.concatenate([x[:, :, :1, :], x[:, :, bh - 1 : h - 1 : bh, :]], axis=2)
     bots = jnp.concatenate([x[:, :, bh::bh, :], x[:, :, h - 1 :, :]], axis=2)
-    return jnp.swapaxes(tops, 1, 2), jnp.swapaxes(bots, 1, 2)
+    nt = h // bh
+    pad = (-nt) % 8  # sublane-align so kernels can ds() an aligned chunk
+    if pad:
+        tops = jnp.pad(tops, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bots = jnp.pad(bots, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return tops, bots
+
+
+def _halo_row_at(ref, t):
+    """(1, C, nt8, W) halo-rows ref -> the (C, W) row for grid block t.
+
+    Mosaic requires dynamic sublane starts provably 8-aligned: read the
+    aligned 8-row chunk containing t and mask-select its row."""
+    chunk = ref[0, :, pl.ds((t // 8) * 8, 8), :]  # (C, 8, W)
+    sub = lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+    return jnp.sum(jnp.where(sub == t % 8, chunk, 0), axis=1).astype(chunk.dtype)
+
+
+def _halo_spec(c: int, nt: int, w: int):
+    nt8 = nt + (-nt) % 8
+    return pl.BlockSpec(
+        (1, c, nt8, w), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM
+    )
 
 
 def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
@@ -165,17 +191,51 @@ def _combine_partials(p, co, bh, w, zeros_mode, w_true):
     return _shift_r(p0, fill_l) + p1 + _shift_l(p2, fill_r)
 
 
-def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int):
-    """Forward kernel factory. Grid (N, H/BH). Requires W % 128 == 0 (the
-    wrapper lane-pads other widths; ``w_true`` is the unpadded width)."""
+def _acc_stats(yc, co, bh, w, w_true, s1_ref, s2_ref, first):
+    """Accumulate per-channel sum / sum-of-squares of the stored output
+    (the NEXT BatchNorm's batch statistics — fusing them here removes the
+    XLA reduce island between Pallas calls and the relayout copies it drags
+    in; VERDICT r2 next-#2). Lane-pad columns are masked out."""
+    yf = yc.astype(jnp.float32)
+    if w_true != w:
+        col = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+        yf = jnp.where(col >= w_true, 0.0, yf)
+    flat = yf.reshape(co, bh * w)
+    s1 = jnp.sum(flat, axis=1, keepdims=True)
+    s2 = jnp.sum(flat * flat, axis=1, keepdims=True)
 
-    def kernel(x_ref, top_ref, bot_ref, wp_ref, b_ref, sc_ref, sh_ref, y_ref):
+    @pl.when(first)
+    def _():
+        s1_ref[:, :] = s1
+        s2_ref[:, :] = s2
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        s1_ref[:, :] = s1_ref[:, :] + s1
+        s2_ref[:, :] = s2_ref[:, :] + s2
+
+
+def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int,
+                 want_stats: bool = False, padfix: bool = False):
+    """Forward kernel factory. Grid (N, H/BH). Requires W % 128 == 0 (the
+    wrapper lane-pads other widths; ``w_true`` is the unpadded width).
+
+    ``padfix``: write replicate-edge fill into the lane-pad columns of the
+    output (via the tiny F fill-matmul input) so the NEXT kernel can consume
+    the array directly — the padded-carry convention that removes the XLA
+    pad/slice islands (and their relayout copies) between Pallas calls."""
+
+    def kernel(x_ref, top_ref, bot_ref, wp_ref, b_ref, sc_ref, sh_ref, *rest):
+        rest = list(rest)
+        f_ref = rest.pop(0) if padfix else None
+        y_ref = rest.pop(0)
+        n = pl.program_id(0)
         t = pl.program_id(1)
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
         slab = _norm_slab(
-            x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
-            relu, zeros_mode, t, nt, bh, w_true,
+            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
         )
         s = _rows_stack(slab, bh)  # (3C, BH*W)
         p = lax.dot_general(
@@ -183,20 +243,49 @@ def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int):
             preferred_element_type=jnp.float32,
         )  # (3Co, BH*W)
         y = _combine_partials(p, co, bh, w, zeros_mode, w_true)
-        y = (y.reshape(co, bh * w) + b_ref[:, :]).reshape(co, bh, w)
-        y_ref[0, :, :, :] = y.astype(y_ref.dtype)
+        y = (y.reshape(co, bh * w) + b_ref[:, :])
+        if padfix:
+            y = lax.dot_general(
+                y.reshape(co * bh, w), f_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(co, bh * w)
+        yc = y.reshape(co, bh, w).astype(y_ref.dtype)
+        y_ref[0, :, :, :] = yc
+        if want_stats:
+            _acc_stats(yc, co, bh, w, w_true, rest[0], rest[1],
+                       jnp.logical_and(n == 0, t == 0))
 
     return kernel
+
+
+def _padfix_matrix(w: int, w_true: int, dtype) -> jnp.ndarray:
+    """(w, w) fill matrix: identity on the true columns, and every lane-pad
+    column j >= w_true copies column w_true-1 (replicate-edge fill, the
+    _pad_w_lanes('edge') contract)."""
+    rows = jnp.arange(w)[:, None]
+    cols = jnp.arange(w)[None, :]
+    ident = (rows == cols) & (cols < w_true)
+    fill = (rows == w_true - 1) & (cols >= w_true)
+    return (ident | fill).astype(dtype)
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "outer_padding"))
-def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str):
-    w_true = x.shape[3]
-    x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "want_stats", "w_true", "emit_padded"))
+def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str,
+                     want_stats: bool = False, w_true: int = None,
+                     emit_padded: bool = False):
+    """``w_true`` set => x arrives ALREADY lane-padded under the padded-carry
+    contract (replicate: pad cols hold the edge value; zeros: pad content is
+    ignored, kernels self-mask). ``emit_padded`` => return the full padded
+    width with the same contract instead of slicing."""
+    zeros_mode = outer_padding == "constant"
+    if w_true is None:
+        w_true = x.shape[3]
+        x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
     if x.shape[3] != w_true and scale.shape[-1] == w_true:
         scale = _pad_w_lanes(scale, "edge")
         shift = _pad_w_lanes(shift, "edge")
@@ -204,25 +293,46 @@ def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str):
     co = wp.shape[0] // 3
     bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    kernel = _conv_kernel(relu, outer_padding == "constant", bh, w_true, co)
-    return pl.pallas_call(
+    padfix = emit_padded and w_true != w and not zeros_mode
+    kernel = _conv_kernel(relu, zeros_mode, bh, w_true, co, want_stats, padfix)
+    out_specs = pl.BlockSpec(
+        (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, co, h, w), x.dtype)
+    if want_stats:
+        acc_spec = pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((co, 1), jnp.float32)
+        out_specs = (out_specs, acc_spec, acc_spec)
+        out_shape = (out_shape, acc_shape, acc_shape)
+    nt = h // bh
+    in_specs = [
+        pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        _halo_spec(c, nt, w),
+        _halo_spec(c, nt, w),
+        pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [x, tops, bots, wp, b, scale, shift]
+    if padfix:
+        in_specs.append(
+            pl.BlockSpec((w, w), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(_padfix_matrix(w, w_true, x.dtype))
+    out = pl.pallas_call(
         kernel,
         grid=(n, h // bh),
-        in_specs=[
-            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(x, tops, bots, wp, b, scale, shift)[..., :w_true]
+    )(*args)
+    sl = slice(None) if emit_padded else slice(0, w_true)
+    if want_stats:
+        y, s1, s2 = out
+        return y[..., sl], s1[:, 0], s2[:, 0]
+    return out[..., sl]
 
 
 # --------------------------------------------------------------------------
@@ -248,9 +358,10 @@ def _conv_halo_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int,
         t = pl.program_id(1)
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
-        top_pn = top_ref[0, 0]  # post-norm at t==0 (injected), raw otherwise
+        # post-norm at t==0 (injected), raw otherwise
+        top_pn = _halo_row_at(top_ref, t)
         slab = _norm_slab(
-            x_ref[0], top_pn, bot_ref[0, 0], sc_ref, sh_ref,
+            x_ref[0], top_pn, _halo_row_at(bot_ref, t), sc_ref, sh_ref,
             relu, zeros_mode, t, nt, bh, w_true, halo_top=True,
         )
         # restore the injected (already-normed) top row for the first block
@@ -304,16 +415,17 @@ def _conv3x3_chw_fwd_halo(x, wp, b, scale, shift, top_pn, lstack, rstack,
     co = wp.shape[0] // 3
     bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
-    tops = jnp.concatenate([top_pn[:, None, :, :], tops[:, 1:]], axis=1)
+    tops = jnp.concatenate([top_pn[:, :, None, :], tops[:, :, 1:]], axis=2)
     use_rstrip = w_true == w
     kernel = _conv_halo_kernel(relu, zeros_mode, bh, w_true, c, co, use_rstrip)
     strip_spec = pl.BlockSpec(
         (1, bh, 3 * c), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM
     )
+    nt = h // bh
     in_specs = [
         pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+        _halo_spec(c, nt, w),
+        _halo_spec(c, nt, w),
         strip_spec,
     ]
     args = [x, tops, bots, lstack]
@@ -451,8 +563,8 @@ def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
         nt = pl.num_programs(1)
         w = g_ref.shape[3]
         gb = g_ref[0]  # (Co, BH, W)
-        top = gtop_ref[0, 0]  # (Co, W)
-        bot = gbot_ref[0, 0]
+        top = _halo_row_at(gtop_ref, t)  # (Co, W)
+        bot = _halo_row_at(gbot_ref, t)
         # gradient slab: zero halo rows at the canvas borders (gradients do
         # not flow in from outside the canvas, any padding mode)
         top = jnp.where(t == 0, 0.0, top).astype(top.dtype)
@@ -540,12 +652,15 @@ def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "outer_padding", "c"))
-def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str, c: int):
-    w_true = x.shape[3]
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "c", "w_true", "emit_padded"))
+def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str,
+                    c: int, w_true: int = None, emit_padded: bool = False):
     zeros_mode = outer_padding == "constant"
-    x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
-    g = _pad_w_lanes(g, "zeros")
+    if w_true is None:
+        w_true = x.shape[3]
+        x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
+        g = _pad_w_lanes(g, "zeros")
     if x.shape[3] != w_true and scale.shape[-1] == w_true:
         scale = _pad_w_lanes(scale, "edge")
         shift = _pad_w_lanes(shift, "edge")
@@ -558,8 +673,8 @@ def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str, 
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, co, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, co, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            _halo_spec(co, h // bh, w),
+            _halo_spec(co, h // bh, w),
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * c, 3 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -577,7 +692,8 @@ def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str, 
         ),
         interpret=_interpret(),
     )(g, gtops, gbots, x, wpt, scale, shift)
-    return dx[..., :w_true], dsc[:, 0], dsh[:, 0]
+    sl = slice(None) if emit_padded else slice(0, w_true)
+    return dx[..., sl], dsc[:, 0], dsh[:, 0]
 
 
 # --------------------------------------------------------------------------
@@ -597,8 +713,8 @@ def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
         slab = _norm_slab(
-            x_ref[0], top_ref[0, 0], bot_ref[0, 0], sc_ref, sh_ref,
-            relu, zeros_mode, t, nt, bh, w_true,
+            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
         )
         sx = _rows_stack(slab, bh)  # (3C, BH*W)
         gb = g_ref[0]  # (Co, BH, W)
@@ -640,15 +756,18 @@ def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("relu", "outer_padding", "co"))
-def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str, co: int):
-    w_true = x.shape[3]
-    x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
-    if x.shape[3] != w_true:
-        g = _pad_w_lanes(g, "zeros")  # zero grads in pad columns -> no dW leak
-        if scale.shape[-1] == w_true:
-            scale = _pad_w_lanes(scale, "edge")
-            shift = _pad_w_lanes(shift, "edge")
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "co", "w_true"))
+def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str,
+                    co: int, w_true: int = None):
+    if w_true is None:
+        w_true = x.shape[3]
+        x = _pad_w_lanes(x, "zeros" if outer_padding == "constant" else "edge")
+        if x.shape[3] != w_true:
+            g = _pad_w_lanes(g, "zeros")  # zero grads in pad cols -> no dW leak
+    if x.shape[3] != w_true and scale.shape[-1] == w_true:
+        scale = _pad_w_lanes(scale, "edge")
+        shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
     bh = _pick_bh(h, w, 6 * c + 5 * co, x.dtype.itemsize)
     tops, bots = _halo_rows(x, bh)
@@ -658,8 +777,8 @@ def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str, co: i
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, c, w), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            _halo_spec(c, h // bh, w),
+            _halo_spec(c, h // bh, w),
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -751,13 +870,252 @@ def _bwd_rule(relu, outer_padding, res, g):
 conv3x3_chw.defvjp(_fwd_rule, _bwd_rule)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def conv3x3_chw_stats(x, w, b, scale, shift, relu: bool = True,
+                      outer_padding: str = "replicate"):
+    """Like :func:`conv3x3_chw` but additionally returns the per-channel
+    ``(sum, sum_sq)`` f32 statistics of the output — the NEXT BatchNorm's
+    batch moments, accumulated inside the kernel instead of by an XLA
+    reduce (which forced relayout copies at every Pallas boundary).
+
+    Returns (y, s1, s2) with s1[c] = sum(y[:, c]), s2[c] = sum(y[:, c]^2)
+    over (N, H, W). The backward applies the stats cotangents as the
+    elementwise correction g + gs1 + 2*y*gs2 (the same term XLA's autodiff
+    of the reduce produced) using the saved output."""
+    c, co = w.shape[2], w.shape[3]
+    wp = _pack_w_partial(w).astype(x.dtype)
+    w_ = x.shape[3]
+    sc = _bcast_cw(scale, c, w_).astype(x.dtype)
+    sh = _bcast_cw(shift, c, w_).astype(x.dtype)
+    return _conv3x3_chw_fwd(
+        x, wp, b.reshape(co, 1).astype(x.dtype), sc, sh,
+        relu=relu, outer_padding=outer_padding, want_stats=True,
+    )
+
+
+def _fwd_rule_stats(x, w, b, scale, shift, relu, outer_padding):
+    y, s1, s2 = conv3x3_chw_stats(x, w, b, scale, shift, relu, outer_padding)
+    return (y, s1, s2), (x, w, b, scale, shift, y)
+
+
+def _bwd_rule_stats(relu, outer_padding, res, cts):
+    x, w, b, scale, shift, y = res
+    g, gs1, gs2 = cts
+    co = w.shape[3]
+    corr1 = gs1.reshape(1, co, 1, 1)
+    corr2 = (2.0 * gs2).reshape(1, co, 1, 1)
+    g = (g.astype(jnp.float32) + corr1 + corr2 * y.astype(jnp.float32)).astype(
+        g.dtype
+    )
+    return _bwd_rule(relu, outer_padding, (x, w, b, scale, shift), g)
+
+
+conv3x3_chw_stats.defvjp(_fwd_rule_stats, _bwd_rule_stats)
+
+
+# --------------------------------------------------------------------------
+# Padded-carry variants: activations flow between kernels at the PHYSICAL
+# lane-padded width (the kernels write the replicate-edge fill into the pad
+# columns themselves), so no XLA pad/slice fusion — and none of the relayout
+# copies XLA's layout assignment hangs on them — sits between Pallas calls.
+# Gradient contract: every cotangent carries ZERO pad columns (the dx
+# kernels mask them; the stats-correction masks below preserve it), so the
+# in-kernel pad-fill needs no explicit transpose term.
+
+
+def _bn_corr_kernel(bh: int, w_true: int):
+    def kernel(g_ref, y_ref, a_ref, b2_ref, o_ref):
+        w = g_ref.shape[3]
+        corr = a_ref[:, :, :] + b2_ref[:, :, :] * y_ref[0].astype(jnp.float32)
+        if w_true != w:
+            col = lax.broadcasted_iota(jnp.int32, (1, 1, w), 2)
+            corr = jnp.where(col >= w_true, 0.0, corr)
+        o_ref[0, :, :, :] = (g_ref[0].astype(jnp.float32) + corr).astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("w_true",))
+def _bn_corr(g, y, alpha, beta2, *, w_true: int):
+    """g + (alpha + beta2*y) masked to the valid columns — the BN-statistics
+    backward correction, as a Pallas kernel so XLA's layout assignment never
+    sees it (the equivalent elementwise fusion chose {3,0,2,1} layouts and
+    dragged full-size relayout copies around every Pallas boundary)."""
+    n, c, h, w = g.shape
+    bh = _pick_bh(h, w, 3 * c, g.dtype.itemsize)
+    a = jnp.broadcast_to(alpha.reshape(c, 1, 1), (c, 1, w)).astype(jnp.float32)
+    b2 = jnp.broadcast_to(beta2.reshape(c, 1, 1), (c, 1, w)).astype(jnp.float32)
+    return pl.pallas_call(
+        _bn_corr_kernel(bh, w_true),
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct(g.shape, g.dtype),
+        interpret=_interpret(),
+    )(g, y, a, b2)
+
+
+def _mask_pad_cols(a: jnp.ndarray, w_true: int) -> jnp.ndarray:
+    if a.shape[-1] == w_true:
+        return a
+    col = jnp.arange(a.shape[-1])
+    return jnp.where(col[None, None, None, :] < w_true, a, 0).astype(a.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def conv3x3_chw_p(x, w, b, scale, shift, relu: bool, outer_padding: str,
+                  w_true: int, want_stats: bool):
+    """Padded-carry :func:`conv3x3_chw`: ``x`` arrives at physical width
+    (multiple of 128) with valid width ``w_true`` and replicate-edge fill in
+    the pad columns; the output keeps the same contract. With
+    ``want_stats`` returns (y, s1, s2) (pad columns excluded)."""
+    c, co = w.shape[2], w.shape[3]
+    wp = _pack_w_partial(w).astype(x.dtype)
+    sc = _bcast_cw(scale, c, x.shape[3]).astype(x.dtype)
+    sh = _bcast_cw(shift, c, x.shape[3]).astype(x.dtype)
+    return _conv3x3_chw_fwd(
+        x, wp, b.reshape(co, 1).astype(x.dtype), sc, sh,
+        relu=relu, outer_padding=outer_padding, want_stats=want_stats,
+        w_true=w_true, emit_padded=True,
+    )
+
+
+def _p_fwd_rule(x, w, b, scale, shift, relu, outer_padding, w_true, want_stats):
+    out = conv3x3_chw_p(x, w, b, scale, shift, relu, outer_padding, w_true,
+                        want_stats)
+    y = out[0] if want_stats else out
+    res = (x, w, b, scale, shift, y if want_stats else None)
+    return out, res
+
+
+def _p_bwd_rule(relu, outer_padding, w_true, want_stats, res, cts):
+    x, w, b, scale, shift, y = res
+    if want_stats:
+        g, gs1, gs2 = cts
+        g = _bn_corr(g, y, gs1, 2.0 * gs2, w_true=w_true)
+    else:
+        g = cts
+    c, co = w.shape[2], w.shape[3]
+    w_phys = x.shape[3]
+    sc = _bcast_cw(scale, c, w_phys).astype(x.dtype)
+    sh = _bcast_cw(shift, c, w_phys).astype(x.dtype)
+    wpt = _pack_w_partial(_flip_transpose_w(w)).astype(g.dtype)
+    dx, dscale, dshift = _conv3x3_chw_dx(
+        x, g, wpt, sc, sh, relu=relu, outer_padding=outer_padding, c=c,
+        w_true=w_true, emit_padded=True,
+    )
+    dw_acc, db = _conv3x3_chw_dw(
+        x, g, sc, sh, relu=relu, outer_padding=outer_padding, co=co,
+        w_true=w_true,
+    )
+    dw = _unpack_dw_partial(dw_acc, c, co).astype(w.dtype)
+    return (dx.astype(x.dtype), dw, db.astype(b.dtype),
+            dscale.astype(scale.dtype), dshift.astype(shift.dtype))
+
+
+conv3x3_chw_p.defvjp(_p_fwd_rule, _p_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def conv1x1_chw_add_p(x, w, b, res, w_true: int, want_stats: bool):
+    """Padded-carry :func:`conv1x1_chw_add(_stats)`: inputs at physical
+    width with the pad-fill contract; output pad columns carry the
+    replicate-edge fill (safe for both outer paddings — zeros-mode
+    consumers self-mask)."""
+    co = w.shape[-1]
+    wm = jnp.transpose(w.reshape(-1, co), (1, 0)).astype(x.dtype)
+    return _conv1x1_chw_fwd(
+        x, wm, b.reshape(co, 1).astype(x.dtype), res,
+        want_stats=want_stats, w_true=w_true, emit_padded=True,
+    )
+
+
+def _p1_fwd_rule(x, w, b, res, w_true, want_stats):
+    out = conv1x1_chw_add_p(x, w, b, res, w_true, want_stats)
+    y = out[0] if want_stats else out
+    return out, (x, w, b, y if want_stats else None)
+
+
+def _p1_bwd_rule(w_true, want_stats, saved, cts):
+    x, w, b, y = saved
+    if want_stats:
+        g, gs1, gs2 = cts
+        g = _bn_corr(g, y, gs1, 2.0 * gs2, w_true=w_true)
+    else:
+        g = _mask_pad_cols(cts, w_true)
+    dx, dw, db = _conv1x1_bwd_rule((x, w, b), g)
+    return dx, dw, db, g
+
+
+conv1x1_chw_add_p.defvjp(_p1_fwd_rule, _p1_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def upsample2_chw_p(x, w_true: int, fill: str):
+    """Padded-carry nearest-2x upsample: x at physical width with valid
+    ``w_true``; output at round_up(2*w_true, 128) physical width with
+    ``fill`` ('edge' or 'zeros') in its pad columns, baked into the
+    interleave matrix."""
+    n, c, h, wp_ = x.shape
+    target = 2 * w_true + (-(2 * w_true)) % 128
+    e = _up_e_matrix_p(wp_, w_true, target, fill, x.dtype)
+    return _up2_fwd_call(x, e)
+
+
+def _up_e_matrix_p(w_phys: int, w_true: int, target: int, fill: str, dtype):
+    rows = jnp.arange(w_phys)[:, None]
+    cols = jnp.arange(target)[None, :]
+    valid = (rows < w_true) & ((cols // 2) == rows) & (cols < 2 * w_true)
+    m = valid
+    if fill == "edge":
+        m = m | ((rows == w_true - 1) & (cols >= 2 * w_true))
+    return m.astype(dtype)
+
+
+def _up2_p_fwd_rule(x, w_true, fill):
+    return upsample2_chw_p(x, w_true, fill), None
+
+
+def _up2_p_bwd_rule(w_true, fill, res, g):
+    del res
+    # pad-column cotangents are zero by the gradient contract; E^T folds
+    # nothing extra. Output dx at x's physical width, zero pads.
+    n, c, h2, wf = g.shape
+    w_phys = wf  # forward target width; dx phys width = x's
+    # reconstruct x's physical width: smallest 128-multiple >= w_true that
+    # the forward consumed — derivable from h only ambiguously, so carry it
+    # via the E matrix shape instead: rebuild with the same params.
+    x_phys = _round_up_128(w_true)
+    e = _up_e_matrix_p(x_phys, w_true, wf, fill, g.dtype)
+    dx = _up2_bwd_call(g, jnp.transpose(e, (1, 0)))
+    return (dx.astype(g.dtype),)
+
+
+def _round_up_128(v: int) -> int:
+    return v + (-v) % 128
+
+
+upsample2_chw_p.defvjp(_up2_p_fwd_rule, _up2_p_bwd_rule)
+
+
 # --------------------------------------------------------------------------
 # 1x1 conv (the ResBlock shortcut) on channels-major arrays.
 
 
-def _conv1x1_kernel(bh: int, with_res: bool):
+def _conv1x1_kernel(bh: int, with_res: bool, w_true: int, co: int,
+                    want_stats: bool = False, padfix: bool = False):
     def kernel(x_ref, w_ref, b_ref, *rest):
-        res_ref, y_ref = (rest[0], rest[1]) if with_res else (None, rest[0])
+        rest = list(rest)
+        res_ref = rest.pop(0) if with_res else None
+        f_ref = rest.pop(0) if padfix else None
+        y_ref = rest.pop(0)
         w = x_ref.shape[3]
         xm = x_ref[0].reshape(-1, bh * w)  # (C, BH*W)
         y = lax.dot_general(
@@ -767,15 +1125,29 @@ def _conv1x1_kernel(bh: int, with_res: bool):
         y = y + b_ref[:, :]
         if with_res:
             y = y + res_ref[0].reshape(-1, bh * w)
-        y_ref[0, :, :, :] = y.reshape(-1, bh, w).astype(y_ref.dtype)
+        if padfix:
+            y = lax.dot_general(
+                y.reshape(co * bh, w), f_ref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).reshape(co, bh * w)
+        yc = y.reshape(-1, bh, w).astype(y_ref.dtype)
+        y_ref[0, :, :, :] = yc
+        if want_stats:
+            _acc_stats(
+                yc, co, bh, w, w_true, rest[0], rest[1],
+                jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+            )
 
     return kernel
 
 
-@jax.jit
-def _conv1x1_chw_fwd(x, wm, b, res=None):
-    w_true = x.shape[3]
-    x = _pad_w_lanes(x, "zeros")
+@functools.partial(jax.jit, static_argnames=("want_stats", "w_true", "emit_padded"))
+def _conv1x1_chw_fwd(x, wm, b, res=None, *, want_stats: bool = False,
+                     w_true: int = None, emit_padded: bool = False):
+    pre_padded = w_true is not None
+    if not pre_padded:
+        w_true = x.shape[3]
+        x = _pad_w_lanes(x, "zeros")
     n, c, h, w = x.shape
     co = wm.shape[0]
     bh = _pick_bh(h, w, 2 * c + 2 * co, x.dtype.itemsize)
@@ -789,21 +1161,39 @@ def _conv1x1_chw_fwd(x, wm, b, res=None):
         in_specs.append(
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM)
         )
-        args.append(_pad_w_lanes(res, "zeros"))
-    return pl.pallas_call(
-        _conv1x1_kernel(bh, res is not None),
+        args.append(res if pre_padded else _pad_w_lanes(res, "zeros"))
+    padfix = emit_padded and w_true != w
+    if padfix:
+        in_specs.append(
+            pl.BlockSpec((w, w), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        )
+        args.append(_padfix_matrix(w, w_true, x.dtype))
+    out_specs = pl.BlockSpec(
+        (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, co, h, w), x.dtype)
+    if want_stats:
+        acc_spec = pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((co, 1), jnp.float32)
+        out_specs = (out_specs, acc_spec, acc_spec)
+        out_shape = (out_shape, acc_shape, acc_shape)
+    out = pl.pallas_call(
+        _conv1x1_kernel(bh, res is not None, w_true, co, want_stats, padfix),
         grid=(n, h // bh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((n, co, h, w), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=_interpret(),
-    )(*args)[..., :w_true]
+    )(*args)
+    sl = slice(None) if emit_padded else slice(0, w_true)
+    if want_stats:
+        y, s1, s2 = out
+        return y[..., sl], s1[:, 0], s2[:, 0]
+    return out[..., sl]
 
 
 def _dw1x1_kernel(bh: int):
-    def kernel(x_ref, g_ref, dw_ref):
+    def kernel(x_ref, g_ref, dw_ref, db_ref):
         n = pl.program_id(0)
         t = pl.program_id(1)
         w = x_ref.shape[3]
@@ -812,21 +1202,26 @@ def _dw1x1_kernel(bh: int):
         acc = lax.dot_general(
             g, xm, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (Co, C)
+        db = jnp.sum(g.astype(jnp.float32), axis=1, keepdims=True)  # (Co, 1)
         first = jnp.logical_and(n == 0, t == 0)
 
         @pl.when(first)
         def _():
             dw_ref[:, :] = acc
+            db_ref[:, :] = db
 
         @pl.when(jnp.logical_not(first))
         def _():
             dw_ref[:, :] = dw_ref[:, :] + acc
+            db_ref[:, :] = db_ref[:, :] + db
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("co",))
 def _conv1x1_chw_dw(x, g, *, co: int):
+    """(dW, db) — db accumulates in-kernel so no XLA reduce ever touches the
+    big gradient (the reduce's layout preference forced relayout copies)."""
     if x.shape[3] % 128:
         x = _pad_w_lanes(x, "zeros")
         g = _pad_w_lanes(g, "zeros")
@@ -839,8 +1234,14 @@ def _conv1x1_chw_dw(x, g, *, co: int):
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((co, c), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((co, c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((co, c), jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ),
         interpret=_interpret(),
     )(x, g)
 
@@ -868,10 +1269,9 @@ def _conv1x1_bwd_rule(res, g):
     # dx = W (C, Co) @ g: reuse the forward kernel with transposed weights
     wT = jnp.transpose(w.reshape(c, co), (1, 0)).reshape(1, 1, co, c)
     dx = _conv1x1_impl(g, wT, jnp.zeros((c,), g.dtype))
-    dwm = _conv1x1_chw_dw(x, g, co=co)  # (Co, C)
+    dwm, db = _conv1x1_chw_dw(x, g, co=co)  # (Co, C), (Co, 1)
     dw = jnp.transpose(dwm, (1, 0)).reshape(w.shape).astype(w.dtype)
-    db = jnp.sum(g.astype(jnp.float32), axis=(0, 2, 3)).astype(b.dtype)
-    return dx.astype(x.dtype), dw, db
+    return dx.astype(x.dtype), dw, db[:, 0].astype(b.dtype)
 
 
 conv1x1_chw.defvjp(_conv1x1_fwd_rule, _conv1x1_bwd_rule)
@@ -898,6 +1298,177 @@ def _conv1x1_add_bwd_rule(saved, g):
 
 
 conv1x1_chw_add.defvjp(_conv1x1_add_fwd_rule, _conv1x1_add_bwd_rule)
+
+
+@jax.custom_vjp
+def conv1x1_chw_add_stats(x, w, b, res):
+    """:func:`conv1x1_chw_add` + per-channel (sum, sum_sq) f32 statistics of
+    the output — the residual block's output IS the next block's BatchNorm
+    input (nearest-2x upsampling preserves per-channel mean and E[x^2], so
+    the stats survive the upsample between blocks unchanged). Returns
+    (y, s1, s2)."""
+    co = w.shape[-1]
+    wm = jnp.transpose(w.reshape(-1, co), (1, 0)).astype(x.dtype)
+    return _conv1x1_chw_fwd(
+        x, wm, b.reshape(co, 1).astype(x.dtype), res, want_stats=True
+    )
+
+
+def _conv1x1_add_stats_fwd_rule(x, w, b, res):
+    y, s1, s2 = conv1x1_chw_add_stats(x, w, b, res)
+    return (y, s1, s2), (x, w, b, y)
+
+
+def _conv1x1_add_stats_bwd_rule(saved, cts):
+    x, w, b, y = saved
+    g, gs1, gs2 = cts
+    co = w.shape[-1]
+    corr1 = gs1.reshape(1, co, 1, 1)
+    corr2 = (2.0 * gs2).reshape(1, co, 1, 1)
+    g = (g.astype(jnp.float32) + corr1 + corr2 * y.astype(jnp.float32)).astype(
+        g.dtype
+    )
+    dx, dw, db = _conv1x1_bwd_rule((x, w, b), g)
+    return dx, dw, db, g
+
+
+conv1x1_chw_add_stats.defvjp(_conv1x1_add_stats_fwd_rule, _conv1x1_add_stats_bwd_rule)
+
+
+# --------------------------------------------------------------------------
+# Nearest-2x upsample on channels-major arrays, as a Pallas kernel.
+#
+# Why: XLA compiles jnp.repeat as broadcast+reshape and prefers non-default
+# layouts ({2,0,3,1} etc.) for that fusion, which forces a pair of relayout
+# copies around EVERY adjacent Pallas conv (device traces: ~1.5-2 ms/step of
+# the Exp-1 recipe). A Pallas kernel pins default layouts on both sides.
+#
+# Mosaic has no lane-interleave primitive, so columns are duplicated by a
+# tiny 0/1 replication matmul on the MXU (y = x @ E with E[b, 2b] = E[b,
+# 2b+1] = 1 — ~N*C*H*W*W/2 MACs, < 0.1 ms at the Exp-1 shapes) and rows by
+# the supported stack+reshape interleave. The backward is the exact
+# transpose: column pair-sum via E^T and row pair-sum via the inverse
+# reshape.
+
+
+def _up_e_matrix(w_half: int, w_true_half: int, dtype) -> jnp.ndarray:
+    """(w_half, 2*w_half) 0/1 interleave matrix; rows >= w_true_half (lane
+    padding) stay zero."""
+    rows = jnp.arange(w_half)
+    cols = jnp.arange(2 * w_half)
+    valid = rows[:, None] < w_true_half
+    hit = (cols[None, :] // 2) == rows[:, None]
+    return (valid & hit).astype(dtype)
+
+
+def _rowint(x: jnp.ndarray) -> jnp.ndarray:
+    """(C, BH, W) -> (C, 2BH, W) nearest row duplication (supported Mosaic
+    reshape: minor dim untouched)."""
+    c, bh, w = x.shape
+    return jnp.concatenate([x[:, :, None, :], x[:, :, None, :]], axis=2).reshape(
+        c, 2 * bh, w
+    )
+
+
+def _up2_kernel(bh_half: int, w_out: int):
+    def kernel(x_ref, e_ref, y_ref):
+        x = _rowint(x_ref[0])  # (C, 2BH, Wh)
+        c = x.shape[0]
+        wh = x.shape[2]
+        y = lax.dot_general(
+            x.reshape(c * 2 * bh_half, wh), e_ref[:, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        y_ref[0, :, :, :] = y.reshape(c, 2 * bh_half, w_out).astype(y_ref.dtype)
+
+    return kernel
+
+
+def _up2_bwd_kernel(bh_half: int, w_out: int):
+    def kernel(g_ref, et_ref, dx_ref):
+        g = g_ref[0]  # (C, 2BH, Wf)
+        c = g.shape[0]
+        wf = g.shape[2]
+        cols = lax.dot_general(
+            g.reshape(c * 2 * bh_half, wf), et_ref[:, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(c, bh_half, 2, w_out)  # inverse row interleave
+        dx_ref[0, :, :, :] = (cols[:, :, 0, :] + cols[:, :, 1, :]).astype(
+            dx_ref.dtype
+        )
+
+    return kernel
+
+
+@jax.jit
+def _up2_fwd_call(x, e):
+    n, c, h, w = x.shape
+    wh, w_out = e.shape
+    # working set per block ~ input + interleaved + 4x output rows
+    bh_half = _pick_bh(h, 2 * wh, 10 * c, x.dtype.itemsize)
+    return pl.pallas_call(
+        _up2_kernel(bh_half, w_out),
+        grid=(n, h // bh_half),
+        in_specs=[
+            pl.BlockSpec((1, c, bh_half, wh), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, w_out), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, 2 * bh_half, w_out), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c, 2 * h, w_out), x.dtype),
+        interpret=_interpret(),
+    )(x, e)
+
+
+@jax.jit
+def _up2_bwd_call(g, et):
+    n, c, h2, wf = g.shape
+    w_out = et.shape[1]
+    bh_half = _pick_bh(h2 // 2, wf, 10 * c, g.dtype.itemsize)
+    return pl.pallas_call(
+        _up2_bwd_kernel(bh_half, w_out),
+        grid=(n, h2 // (2 * bh_half)),
+        in_specs=[
+            pl.BlockSpec((1, c, 2 * bh_half, wf), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wf, w_out), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, bh_half, w_out), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, c, h2 // 2, w_out), g.dtype),
+        interpret=_interpret(),
+    )(g, et)
+
+
+@jax.custom_vjp
+def upsample2_chw(x):
+    """Nearest-2x upsample of (N, C, H, W), Pallas-native (default layouts
+    on both sides — no XLA relayout copies). Equivalent of the reference's
+    nn.Upsample(scale_factor=2, mode='nearest'), models/generators.py:54."""
+    w_true = x.shape[3]
+    xp = _pad_w_lanes(x, "zeros")
+    e = _up_e_matrix(xp.shape[3], w_true, xp.dtype)
+    y = _up2_fwd_call(xp, e)
+    return y[..., : 2 * w_true]
+
+
+def _up2_fwd_rule(x):
+    return upsample2_chw(x), None
+
+
+def _up2_bwd_rule(res, g):
+    del res  # shape/dtype derive from the cotangent itself
+    w_true = g.shape[3] // 2
+    gp = _pad_w_lanes(g, "zeros")
+    if gp.shape[3] % 2:  # keep the half width even after padding
+        gp = jnp.pad(gp, [(0, 0)] * 3 + [(0, 1)])
+    et = jnp.transpose(_up_e_matrix(gp.shape[3] // 2, w_true, gp.dtype), (1, 0))
+    dx = _up2_bwd_call(gp, et)
+    return (dx[..., :w_true].astype(g.dtype),)
+
+
+upsample2_chw.defvjp(_up2_fwd_rule, _up2_bwd_rule)
 
 
 def conv3x3_chw_reference(x, w, b, scale, shift, relu=True,

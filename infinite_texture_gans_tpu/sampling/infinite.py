@@ -53,17 +53,11 @@ def canvas_geometry(out_h: int, out_w: int, patch_res: int, gh: int, gw: int):
     return steps_h, steps_w, total_h, total_w
 
 
-@functools.partial(jax.jit, static_argnames=("gen", "steps_w"))
-def _row_scan(gen, variables, z_strip, maps_strips, halo, first_row, steps_w):
+def _row_impl(gen, variables, z_strip, maps_strips, halo, first_row, steps_w):
     """One canvas row = lax.scan over its columns; the halo cache is the
     carry. z/map strips are full-row-width; each column's overlapping window
     is a dynamic_slice inside the scan (no host-side duplication). Ends with
-    finalize+rotate so the returned cache is ready for the next row.
-
-    Module-level with the (hashable) flax module as a static arg, so the
-    compiled executable is cached across ``generate_canvas`` calls — a jit
-    closure created per call would recompile every time.
-    """
+    finalize+rotate so the returned cache is ready for the next row."""
     gh, gw, base = gen.num_patches_h, gen.num_patches_w, gen.base_res
 
     def body(halo, col):
@@ -95,6 +89,53 @@ def _row_scan(gen, variables, z_strip, maps_strips, halo, first_row, steps_w):
     return subs, halo
 
 
+@functools.partial(jax.jit, static_argnames=("gen", "steps_w"))
+def _row_scan(gen, variables, z_strip, maps_strips, halo, first_row, steps_w):
+    """Single-row dispatch (kept for the wavefront engine and tests).
+
+    Module-level with the (hashable) flax module as a static arg, so the
+    compiled executable is cached across ``generate_canvas`` calls — a jit
+    closure created per call would recompile every time.
+    """
+    return _row_impl(gen, variables, z_strip, maps_strips, halo, first_row, steps_w)
+
+
+@functools.partial(jax.jit, static_argnames=("gen", "steps_w", "n_rows", "has_maps"))
+def _row_group_scan(gen, variables, z_full, maps_full, halo, r0, steps_w,
+                    n_rows, has_maps):
+    """``n_rows`` canvas rows in ONE dispatch: an outer lax.scan over rows
+    around the per-row column scan, strips sliced from the full-canvas
+    latents on device. Collapses the engine's host dispatch count from
+    steps_h to ceil(steps_h / group) — the tunnel pays per-dispatch latency,
+    the device does not (VERDICT r2 next-#4). ``r0`` is traced, so every
+    equal-size group reuses one executable."""
+    gh, base = gen.num_patches_h, gen.base_res
+
+    def body(halo, k):
+        r = r0 + k
+        z_strip = lax.dynamic_slice_in_dim(
+            z_full, r * (gh - 1) * base, gh * base + latents.Z_PAD, axis=1
+        )
+        maps_strips = None
+        if has_maps:
+            maps_strips = [
+                lax.dynamic_slice_in_dim(
+                    m,
+                    r * (gh - 1) * (2**i) * base,
+                    gh * (2**i) * base + latents.MAP_PAD,
+                    axis=1,
+                )
+                for i, m in enumerate(maps_full)
+            ]
+        subs, halo = _row_impl(
+            gen, variables, z_strip, maps_strips, halo, r == 0, steps_w
+        )
+        return halo, subs
+
+    halo, subs = lax.scan(body, halo, jnp.arange(n_rows, dtype=jnp.int32))
+    return subs, halo  # subs: (n_rows, steps_w, N, gh*P, gw*P, C)
+
+
 def generate_canvas(
     gen: ResidualPatchGenerator,
     variables,
@@ -105,12 +146,15 @@ def generate_canvas(
     z_full: Optional[jnp.ndarray] = None,
     maps_full: Optional[List[jnp.ndarray]] = None,
     progress: bool = False,
+    row_group: int = 4,
 ) -> np.ndarray:
     """Raster-scan patch-by-patch generation of an (out_h, out_w) canvas.
 
     Returns a host numpy array (N, out_h, out_w, img_ch) in [-1, 1].
     ``z_full``/``maps_full`` may be passed explicitly (e.g. to compare with
     the one-pass oracle); otherwise they are drawn from ``key``.
+    ``row_group`` canvas rows are generated per device dispatch (the
+    reference pays one forward + .cpu() per SUB-IMAGE, utils.py:360).
     """
     P = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
@@ -133,35 +177,43 @@ def generate_canvas(
         (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32
     )
 
-    def flush(r, subs):
-        # One D2H copy per row; write each sub-image into the canvas — later
-        # writes overwrite the re-generated right patch-column / bottom
-        # patch-row (last-writer-wins == reference crop protocol,
+    def flush(r0, subs_g):
+        # One D2H copy per row GROUP; write each sub-image into the canvas —
+        # later writes overwrite the re-generated right patch-column /
+        # bottom patch-row (last-writer-wins == reference crop protocol,
         # utils.py:364-377).
-        subs_np = np.asarray(subs)  # (steps_w, N, gh*P, gw*P, C)
-        for c in range(steps_w):
-            canvas[
-                :,
-                r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
-                c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
-                :,
-            ] = subs_np[c]
+        subs_np = np.asarray(subs_g)  # (n, steps_w, N, gh*P, gw*P, C)
+        for k in range(subs_np.shape[0]):
+            r = r0 + k
+            for c in range(steps_w):
+                canvas[
+                    :,
+                    r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
+                    c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
+                    :,
+                ] = subs_np[k, c]
         if progress:
-            print(f"  row {r + 1}/{steps_h} ({steps_w} sub-images)", flush=True)
+            print(
+                f"  rows {r0 + 1}-{r0 + subs_np.shape[0]}/{steps_h} "
+                f"({steps_w} sub-images each)",
+                flush=True,
+            )
 
+    row_group = max(1, min(row_group, steps_h))
     pending = None
-    for r in range(steps_h):
-        z_strip, maps_strips = latents.row_strips(z_full, maps_full, r, base, gh)
-        subs, halo = _row_scan(
-            gen, variables, z_strip, maps_strips, halo, jnp.bool_(r == 0), steps_w
+    for g0 in range(0, steps_h, row_group):
+        n = min(row_group, steps_h - g0)
+        subs_g, halo = _row_group_scan(
+            gen, variables, z_full, maps_full, halo, jnp.int32(g0),
+            steps_w, n, maps_full is not None,
         )
-        try:  # start the D2H early; consume after the NEXT row is dispatched
-            subs.copy_to_host_async()
+        try:  # start the D2H early; consume after the NEXT group dispatches
+            subs_g.copy_to_host_async()
         except AttributeError:  # pragma: no cover - non-array backends
             pass
         if pending is not None:
             flush(*pending)
-        pending = (r, subs)
+        pending = (g0, subs_g)
     flush(*pending)
     return canvas[:, :output_resolution_height, :output_resolution_width, :]
 
