@@ -24,6 +24,43 @@ from infinite_texture_gans_tpu.models.layers import (
 from infinite_texture_gans_tpu.ops.conv import Conv, Dense, conv1x1, conv3x3, conv4x4
 
 
+class StemConv4x4(nn.Module):
+    """conv0 of the PatchGAN as a Pallas stem kernel. Declares the exact
+    parameter/spectral tree of :class:`ops.conv.Conv` (same checkpoints and
+    torch importer); SN math runs on the small weight in XLA, the conv runs
+    channels-major on the MXU (ops/pallas_conv.py: conv4x4s2_stem)."""
+
+    features: int
+    sn: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
+        from infinite_texture_gans_tpu.ops.conv import _u_init, orthogonal, spectral_normalize
+        from infinite_texture_gans_tpu.ops.pallas_conv import conv4x4s2_stem
+
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", orthogonal(column_axis=-1), (4, 4, in_ch, self.features)
+        )
+        if self.sn:
+            u_var = self.variable("spectral", "u", _u_init, self.features, 0)
+            v_var = self.variable(
+                "spectral", "v", _u_init, kernel.size // self.features, 1
+            )
+            do_update = update_sn and not self.is_initializing()
+            kernel, u_new, v_new = spectral_normalize(
+                kernel, u_var.value, v_var.value, do_update
+            )
+            if do_update:
+                u_var.value = u_new
+                v_var.value = v_new
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return conv4x4s2_stem(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+        )
+
+
 class PatchDiscriminator(nn.Module):
     """pix2pix-style ~70x70 PatchGAN (reference models/discriminators.py:156-210).
 
@@ -40,6 +77,19 @@ class PatchDiscriminator(nn.Module):
     SN: bool = False
     norm_layer: Optional[str] = None  # None | 'batch' | 'instance'
     dtype: Any = jnp.float32
+    # 'off' (default) | 'on': channels-major Pallas kernel for the 3-channel
+    # k4/s2 conv0 (ops/pallas_conv.py stem section). Measured on v5e at the
+    # Exp-1 recipe: the stem kernels run 1.7 ms/step + ~1.1 ms of NCHW
+    # boundary relayouts vs ~1.5 ms for XLA's conv0 — a net LOSS, because
+    # XLA keeps conv0 inside its fusions while the stem forces kernel
+    # boundaries (docs/PERF.md round-3 note). Kept as an option because the
+    # kernel is parity-tested and the tradeoff may flip at other shapes.
+    stem_pallas: str = "off"
+
+    def _use_stem(self, x: jnp.ndarray) -> bool:
+        if self.stem_pallas != "on" or self.kw != 4:
+            return False
+        return x.shape[-1] == 3 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
     @nn.compact
     def __call__(
@@ -48,9 +98,14 @@ class PatchDiscriminator(nn.Module):
         conv = conv4x4 if self.kw == 4 else conv3x3
         lrelu = activation_fn(0.2)
 
-        h = conv(self.base_ch, self.SN, strides=2, dtype=self.dtype, name="conv0")(
-            x, update_sn=update_sn
-        )
+        if self._use_stem(x):
+            h = StemConv4x4(
+                self.base_ch, sn=self.SN, dtype=self.dtype, name="conv0"
+            )(x, update_sn=update_sn)
+        else:
+            h = conv(self.base_ch, self.SN, strides=2, dtype=self.dtype, name="conv0")(
+                x, update_sn=update_sn
+            )
         h = lrelu(h)
         nf = self.base_ch
         for n in range(1, self.n_layers_D):

@@ -1471,6 +1471,388 @@ def _up2_bwd_rule(res, g):
 upsample2_chw.defvjp(_up2_fwd_rule, _up2_bwd_rule)
 
 
+# --------------------------------------------------------------------------
+# Discriminator stem: 4x4 / stride-2 / pad-1 conv on a 3-channel image.
+#
+# Status: parity-tested but OFF by default. The hypothesis was that XLA's
+# NHWC conv on C=3 inputs (lane-padded ~43x) was worth ~2.6 ms/step; the
+# round-3 v5e trace disproved it — after the BN-stat/upsample fusions
+# landed, XLA runs conv0 inside its big fusions for ~1.5 ms/step total,
+# while this stem costs 1.7 ms of kernel time plus ~1.1 ms of NCHW
+# boundary relayouts (25.2 -> 26.9 ms step with it on). Kept because the
+# kernels are correct at all shapes/dtypes and the tradeoff may flip where
+# conv0 can't fuse. Channels-major Pallas scheme:
+#
+#   * columns: one 0/1 selection matmul  P = rows @ Mp,  Mp (W, 4*BW) with
+#     Mp[s, dx*BW + j] = 1 iff s == 2j+dx-1 — extracts all four column taps
+#     at output stride 2 (canvas zero-padding = absent rows);
+#   * rows: taps 2i+dy-1 come from the supported pair reshape of the padded
+#     row range [2r0-1, 2r0+2*bho]: O/E = odd/even row planes, the four dy
+#     stacks are static slices of O/E;
+#   * contraction: all 48 taps stacked (48, bho*BW) against the packed
+#     (Co, 48) weight — one MXU pass.
+#
+# Reference: PatchDiscriminator conv0 (reference
+# models/discriminators.py:187-195, Conv2d(img_ch, 64, 4, 2, 1)).
+
+
+def _stem_mp_matrix(w_img: int, bw: int, w2: int, dtype) -> jnp.ndarray:
+    s = jnp.arange(w_img)[:, None]
+    cols = jnp.arange(4 * bw)[None, :]
+    dx = cols // bw
+    j = cols % bw
+    hit = (s == 2 * j + dx - 1) & (j < w2)
+    return hit.astype(dtype)
+
+
+def _stem_pack_w(w4: jnp.ndarray) -> jnp.ndarray:
+    """(4, 4, 3, Co) -> (Co, 48) rows ordered (dy, c, dx)."""
+    co = w4.shape[-1]
+    return jnp.transpose(w4, (3, 0, 2, 1)).reshape(co, 48)
+
+
+def _stem_tstack(x_blk, top, bot, mp_ref, bho, bw, dtype):
+    """Shared forward/dW assembly: (3, 2bho, W) block + halo rows ->
+    (48, bho*BW) tap stack."""
+    rows = jnp.concatenate([top[:, None, :], x_blk, bot[:, None, :]], axis=1)
+    w_img = rows.shape[2]
+    p = lax.dot_general(
+        rows.reshape(3 * (2 * bho + 2), w_img), mp_ref[:, :],
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(dtype).reshape(3, bho + 1, 8 * bw)
+    # pair m of each channel = (odd row 2(r0+m)-1, even row 2(r0+m)); the
+    # merged minor dim keeps them as lane bands [0,4BW) / [4BW,8BW) — all
+    # selections below are slices (Mosaic lowers integer indexing on >2D
+    # arrays as unsupported gathers).
+    o = p[:, :, : 4 * bw]  # odd rows 2(r0+m)-1
+    e = p[:, :, 4 * bw :]  # even rows 2(r0+m)
+    dys = (o[:, :bho], e[:, :bho], o[:, 1:], e[:, 1:])
+    blocks = []
+    for dy in range(4):
+        s = dys[dy]
+        for c in range(3):
+            for dx in range(4):
+                blocks.append(
+                    s[c : c + 1, :, dx * bw : (dx + 1) * bw].reshape(1, bho * bw)
+                )
+    return jnp.concatenate(blocks, axis=0)  # (48, bho*BW)
+
+
+def _stem_kernel(bho: int, bw: int, co: int):
+    def kernel(x_ref, top_ref, bot_ref, mp_ref, wm_ref, b_ref, y_ref):
+        t = pl.program_id(1)
+        tstack = _stem_tstack(
+            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            mp_ref, bho, bw, x_ref.dtype,
+        )
+        y = lax.dot_general(
+            wm_ref[:, :], tstack, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + b_ref[:, :]
+        y_ref[0, :, :, :] = y.reshape(co, bho, bw).astype(y_ref.dtype)
+
+    return kernel
+
+
+def _stem_halo_rows(x: jnp.ndarray, bho: int):
+    """Side rows for the stem blocks: tops[t] = x row 2*t*bho - 1 (zeros for
+    t=0, the canvas zero padding), bots[t] = row 2*(t+1)*bho (zeros at the
+    bottom edge). Same dim order as x — layout-neutral slices."""
+    n, c, h, w = x.shape
+    z = jnp.zeros((n, c, 1, w), x.dtype)
+    tops = jnp.concatenate([z, x[:, :, 2 * bho - 1 : h - 1 : 2 * bho, :]], axis=2)
+    nt = h // (2 * bho)
+    bots_main = x[:, :, 2 * bho :: 2 * bho, :]
+    bots = jnp.concatenate([bots_main, z], axis=2)[:, :, :nt, :]
+    pad = (-nt) % 8
+    if pad:
+        tops = jnp.pad(tops, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        bots = jnp.pad(bots, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return tops, bots
+
+
+def _stem_pick_bho(h2: int) -> int:
+    cands = [d for d in range(8, h2 + 1, 8) if h2 % d == 0 and d <= 64]
+    return cands[-1] if cands else h2
+
+
+@jax.jit
+def _stem_fwd_call(x, mp, wm, b):
+    n, c3, h, w_img = x.shape
+    h2 = h // 2
+    bw = mp.shape[1] // 4
+    co = wm.shape[0]
+    bho = _stem_pick_bho(h2)
+    tops, bots = _stem_halo_rows(x, bho)
+    nt = h2 // bho
+    return pl.pallas_call(
+        _stem_kernel(bho, bw, co),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            _halo_spec(3, nt, w_img),
+            _halo_spec(3, nt, w_img),
+            pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 48), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, co, bho, bw), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, co, h2, bw), x.dtype),
+        interpret=_interpret(),
+    )(x, tops, bots, mp, wm, b)
+
+
+def _stem_dw_kernel(bho: int, bw: int, co: int):
+    def kernel(x_ref, top_ref, bot_ref, mp_ref, g_ref, dw_ref, db_ref):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        tstack = _stem_tstack(
+            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            mp_ref, bho, bw, x_ref.dtype,
+        )
+        gflat = g_ref[0].reshape(co, bho * bw)
+        acc = lax.dot_general(
+            tstack, gflat, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (48, Co)
+        db = jnp.sum(gflat.astype(jnp.float32), axis=1, keepdims=True).T  # (1, Co)
+        first = jnp.logical_and(n == 0, t == 0)
+
+        @pl.when(first)
+        def _():
+            dw_ref[:, :] = acc
+            db_ref[:, :] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw_ref[:, :] = dw_ref[:, :] + acc
+            db_ref[:, :] = db_ref[:, :] + db
+
+    return kernel
+
+
+@jax.jit
+def _stem_dw_call(x, mp, g):
+    n, c3, h, w_img = x.shape
+    h2 = h // 2
+    bw = mp.shape[1] // 4
+    co = g.shape[1]
+    bho = _stem_pick_bho(h2)
+    tops, bots = _stem_halo_rows(x, bho)
+    nt = h2 // bho
+    return pl.pallas_call(
+        _stem_dw_kernel(bho, bw, co),
+        grid=(n, nt),
+        in_specs=[
+            pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            _halo_spec(3, nt, w_img),
+            _halo_spec(3, nt, w_img),
+            pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co, bho, bw), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((48, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((48, co), jnp.float32),
+            jax.ShapeDtypeStruct((1, co), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, tops, bots, mp, g)
+
+
+def _stem_mpt_chunks(w_img: int, bw: int, w2: int, dtype) -> jnp.ndarray:
+    """(nc, 4*128, W) per-lane-chunk transposed column-scatter matrices:
+    chunk k maps the 128 output columns [128k, 128k+128) back to input
+    columns. Chunked because Mosaic only supports the kernel's (1, bho*L) ->
+    (bho, L) tap reshape at the native lane width L=128."""
+    nc = bw // 128
+    s = jnp.arange(w_img)[None, None, :]
+    rows = jnp.arange(4 * 128)[None, :, None]
+    k = jnp.arange(nc)[:, None, None]
+    dx = rows // 128
+    j = rows % 128 + k * 128
+    hit = (s == 2 * j + dx - 1) & (j < w2)
+    return hit.astype(dtype)
+
+
+def _stem_dx_kernel(bho: int, co: int, w_img: int):
+    def kernel(g_ref, wt_ref, mpt_ref, dx_ref, topo_ref, boto_ref):
+        c_id = pl.program_id(2)
+        gflat = g_ref[0].reshape(co, bho * 128)
+        q = lax.dot_general(
+            wt_ref[:, :], gflat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(g_ref.dtype)  # (48, bho*128), rows (dy, c, dx)
+        mpt = mpt_ref[0]  # (4*128, W)
+        # per (dy, c): scatter the four dx tap-grads back onto input columns
+        # through the matching Mp^T row band
+        cols = []  # cols[dy][c] = (bho, W) f32
+        for dy in range(4):
+            per_c = []
+            for c in range(3):
+                base = (dy * 3 + c) * 4
+                acc = None
+                for dx in range(4):
+                    qdx = q[base + dx : base + dx + 1].reshape(bho, 128)
+                    part = lax.dot_general(
+                        qdx, mpt[dx * 128 : (dx + 1) * 128, :],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (bho, W)
+                    acc = part if acc is None else acc + part
+                per_c.append(acc)
+            cols.append(per_c)
+        z1 = jnp.zeros((1, w_img), jnp.float32)
+
+        # odd rows 2(r0+m)-1, m 0..bho: dy0 hits m 0..bho-1, dy2 hits 1..bho
+        odd = jnp.stack(
+            [
+                jnp.concatenate([cols[0][c], z1], axis=0)
+                + jnp.concatenate([z1, cols[2][c]], axis=0)
+                for c in range(3)
+            ]
+        )  # (3, bho+1, W)
+        even = jnp.stack(
+            [
+                jnp.concatenate([cols[1][c], z1], axis=0)
+                + jnp.concatenate([z1, cols[3][c]], axis=0)
+                for c in range(3)
+            ]
+        )
+        # main rows of this block: even[m] = row 2(r0+m), odd[m+1] = row
+        # 2(r0+m)+1, m 0..bho-1 -> interleave. Slice and expand_dims must be
+        # SEPARATE ops: a fused `x[:, :bho, None, :]` lowers as an N-D
+        # gather, which Mosaic rejects.
+        ev = even[:, :bho, :][:, :, None, :]
+        od = odd[:, 1:, :][:, :, None, :]
+        main = jnp.concatenate([ev, od], axis=2).reshape(3, 2 * bho, w_img)
+        # halo spill rows: odd[0] targets row 2r0-1 (previous block),
+        # even[bho] targets row 2r0+2bho (next block). Slice+reshape, not
+        # integer indexing: Mosaic lowers mid-dim integer indexes as gathers.
+        top = odd[:, :1, :].reshape(3, w_img)
+        bot = even[:, bho:, :].reshape(3, w_img)
+        # lane chunks write disjoint-ish column ranges of the SAME (n, t)
+        # output block: initialize at chunk 0, accumulate after.
+        @pl.when(c_id == 0)
+        def _():
+            dx_ref[0, :, :, :] = main.astype(dx_ref.dtype)
+            topo_ref[0, 0, :, :] = top.astype(topo_ref.dtype)
+            boto_ref[0, 0, :, :] = bot.astype(boto_ref.dtype)
+
+        @pl.when(c_id != 0)
+        def _():
+            dx_ref[0, :, :, :] = dx_ref[0, :, :, :] + main.astype(dx_ref.dtype)
+            topo_ref[0, 0, :, :] = topo_ref[0, 0, :, :] + top.astype(topo_ref.dtype)
+            boto_ref[0, 0, :, :] = boto_ref[0, 0, :, :] + bot.astype(boto_ref.dtype)
+
+    return kernel
+
+
+@jax.jit
+def _stem_dx_call(g, wt, mpt_c):
+    n, co, h2, bw = g.shape
+    nc, _, w_img = mpt_c.shape
+    bho = _stem_pick_bho(h2)
+    nt = h2 // bho
+    dx, topo, boto = pl.pallas_call(
+        _stem_dx_kernel(bho, co, w_img),
+        grid=(n, nt, nc),
+        in_specs=[
+            pl.BlockSpec((1, co, bho, 128), lambda n, t, c: (n, 0, t, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((48, co), lambda n, t, c: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * 128, w_img), lambda n, t, c: (c, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t, c: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, w_img), lambda n, t, c: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3, w_img), lambda n, t, c: (n, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, 3, 2 * bho * nt, w_img), g.dtype),
+            jax.ShapeDtypeStruct((n, nt, 3, w_img), g.dtype),
+            jax.ShapeDtypeStruct((n, nt, 3, w_img), g.dtype),
+        ),
+        interpret=_interpret(),
+    )(g, wt, mpt_c)
+    # fold the spill rows back: topo[t] targets row 2*t*bho - 1 (= last row
+    # of chunk t-1), boto[t] targets row 2*(t+1)*bho (= first row of chunk
+    # t+1). Build a per-chunk add tensor with only the first/last row of
+    # each chunk populated — pure concat/zeros, one fused elementwise add.
+    if nt == 1:
+        return dx
+    z1c = jnp.zeros((n, 3, 1, w_img), g.dtype)  # one chunk's worth of rows
+    top_sh = jnp.transpose(topo, (0, 2, 1, 3))[:, :, 1:, :]  # (N, 3, nt-1, W)
+    bot_sh = jnp.transpose(boto, (0, 2, 1, 3))[:, :, : nt - 1, :]
+    first_rows = jnp.concatenate([z1c, bot_sh], axis=2)[:, :, :, None, :]
+    last_rows = jnp.concatenate([top_sh, z1c], axis=2)[:, :, :, None, :]
+    mid = jnp.zeros((n, 3, nt, 2 * bho - 2, w_img), g.dtype)
+    add = jnp.concatenate([first_rows, mid, last_rows], axis=3)
+    h = 2 * bho * nt
+    return (dx.reshape(n, 3, nt, 2 * bho, w_img) + add).reshape(n, 3, h, w_img)
+
+
+@jax.custom_vjp
+def conv4x4s2_stem(x, w, b):
+    """4x4 / stride-2 / pad-1 conv on an NHWC 3-channel image via the
+    channels-major Pallas stem (see the section comment above). x (N, H, W,
+    3) -> (N, H/2, W/2, Co). Weight w (4, 4, 3, Co) HWIO (spectral
+    normalization, if any, happens on the weight in XLA before this call)."""
+    return _stem_impl(x, w, b)[0]
+
+
+def _stem_impl(x, w, b):
+    n, h, w_img, c3 = x.shape
+    co = w.shape[-1]
+    w2 = w_img // 2
+    bw = _round_up_128(w2)
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # (N, 3, H, W)
+    # Mosaic needs the block height 8-aligned (the (1, bho*BW) -> (bho, BW)
+    # tap reshape); pad rows so H/2 is a multiple of 8. Zero row padding
+    # equals the canvas zero padding, so real output rows are unchanged.
+    h2 = h // 2
+    h2p = h2 + (-h2) % 8
+    if h2p != h2:
+        xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 2 * (h2p - h2)), (0, 0)))
+    mp = _stem_mp_matrix(w_img, bw, w2, x.dtype)
+    wm = _stem_pack_w(w).astype(x.dtype)
+    y = _stem_fwd_call(xc, mp, wm, b.reshape(co, 1).astype(x.dtype))
+    return jnp.transpose(y[:, :, :h2, :w2], (0, 2, 3, 1)), xc
+
+
+def _stem_fwd_rule(x, w, b):
+    y, xc = _stem_impl(x, w, b)
+    return y, (xc, w, b)
+
+
+def _stem_bwd_rule(res, g):
+    xc, w, b = res  # xc row-padded to H/2 multiple-of-8 (see _stem_impl)
+    n, c3, hp, w_img = xc.shape
+    co = w.shape[-1]
+    w2 = w_img // 2
+    bw = _round_up_128(w2)
+    gc = jnp.transpose(g, (0, 3, 1, 2))  # (N, Co, H2, W2)
+    h2 = gc.shape[2]
+    h2p = hp // 2
+    if bw != w2 or h2p != h2:
+        gc = jnp.pad(gc, ((0, 0), (0, 0), (0, h2p - h2), (0, bw - w2)))
+    mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
+    dw_acc, db = _stem_dw_call(xc, mp, gc)
+    # rows (dy, c, dx) -> (4, 4, 3, Co) HWIO
+    dw = jnp.transpose(dw_acc.reshape(4, 3, 4, co), (0, 2, 1, 3)).astype(w.dtype)
+    wt = _stem_pack_w(w).T.astype(gc.dtype)  # (48, Co)
+    mpt_c = _stem_mpt_chunks(w_img, bw, w2, gc.dtype)
+    dxc = _stem_dx_call(gc, wt, mpt_c)
+    dx = jnp.transpose(dxc[:, :, : 2 * h2, :], (0, 2, 3, 1))
+    return dx.astype(gc.dtype), dw, db[0].astype(b.dtype)
+
+
+conv4x4s2_stem.defvjp(_stem_fwd_rule, _stem_bwd_rule)
+
+
 def conv3x3_chw_reference(x, w, b, scale, shift, relu=True,
                           outer_padding="replicate"):
     """Pure-XLA oracle for the fused kernel (used by tests)."""

@@ -92,3 +92,41 @@ def test_bf16_forward_close():
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(ref), atol=0.15, rtol=0.05
     )
+
+
+def test_d_stem_conv_matches_xla():
+    """The Pallas discriminator stem (conv0: 4x4/s2/p1 on the 3-channel
+    image, ops/pallas_conv.py conv4x4s2_stem) must match XLA's conv on the
+    same variables — outputs and all gradients, with and without SN."""
+    from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 48, 48, 3)), jnp.float32
+    )
+    for sn in (False, True):
+        d_off = PatchDiscriminator(base_ch=8, n_layers_D=2, SN=sn, stem_pallas="off")
+        d_on = PatchDiscriminator(base_ch=8, n_layers_D=2, SN=sn, stem_pallas="on")
+        variables = d_off.init(jax.random.key(0), x, train=True)
+        assert jax.tree_util.tree_structure(variables) == jax.tree_util.tree_structure(
+            d_on.init(jax.random.key(0), x, train=True)
+        )
+        y_off = d_off.apply(variables, x, train=False)
+        y_on = d_on.apply(variables, x, train=False)
+        scale = float(jnp.abs(y_off).max()) + 1e-9
+        assert float(jnp.abs(y_on - y_off).max()) / scale < 1e-5
+
+        def loss(d, v):
+            return jnp.mean(jnp.tanh(d.apply(v, x, train=False) / scale))
+
+        g_on = jax.grad(lambda v: loss(d_on, v))(variables)
+        g_off = jax.grad(lambda v: loss(d_off, v))(variables)
+        gs = max(
+            float(jnp.abs(l).max()) for l in jax.tree_util.tree_leaves(g_off)
+        ) + 1e-12
+        for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_on),
+            jax.tree_util.tree_leaves_with_path(g_off),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a) / gs, np.asarray(b) / gs, atol=1e-5, err_msg=str(p)
+            )
