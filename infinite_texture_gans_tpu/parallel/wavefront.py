@@ -4,24 +4,46 @@ exchange.
 The raster dependency of patch-by-patch generation (SURVEY.md §3.2: sub-image
 (r, c) needs the halo cache written by (r, c-1) and by row r-1) admits
 anti-diagonal ("wavefront") parallelism — the maximum legal parallelism of
-the reference's protocol. Each mesh device owns one canvas row of sub-images;
-at global step t device d computes its column c = t - 2d (the lag-2
-wavefront: (r+1, c) needs (r, c+1) because the row buffer it reads one pixel
-past the column above). After every step each device ``ppermute``s its
-accumulated bottom-row halo buffer to the device below — the explicit
-ICI-neighbor halo exchange that replaces the reference's CPU-side halo
-accumulation (models/layers.py:117-132). Within a device everything is the
-same jitted generator step as the single-chip engine.
+the reference's protocol. Each mesh device owns canvas rows of sub-images
+cyclically (device d handles global rows d, d+n_dev, ...); after every step
+each device ``ppermute``s its accumulated bottom-row halo buffer to the
+device below — the explicit ICI-neighbor halo exchange that replaces the
+reference's CPU-side halo accumulation (models/layers.py:117-132). Within a
+device everything is the same jitted generator step as the single-chip
+engine.
 
-v2 (this file): canvases TALLER than the mesh run as **bands** — rows are
-assigned cyclically (device d handles global rows d, d+n_dev, ...), each band
-is one lag-2 wavefront pass, and the finalized bottom-row buffer of a band's
-last device hands off to device 0 of the next band between passes. SSM map
-strips are supported, and each device receives only ITS latent / map row
-strips (inputs sharded on the mesh axis — no full-canvas replication). A
-61x61-patch canvas on 8 devices runs in 8 band passes of (61 + 14) steps
-instead of 3721 sequential steps. All bands share ONE compiled executable
-(the band index is a traced scalar).
+v3 (this file): ONE dispatch, ZERO band bubbles, handoff never leaves the
+device. v2 ran bands of ``n_dev`` rows as separate dispatches with a
+``2(n_dev-1)``-step pipeline fill/drain per band and a host round-trip of
+the handoff buffer between bands. v3 observes that the band handoff is not
+special: row ``r`` needs row ``r-1``'s buffer progressively at lag 2
+*whoever owns it*, so making the per-step ``ppermute`` cyclic
+(``n_dev-1 -> 0`` included) turns the whole canvas into one uniform
+schedule. Row ``r`` starts at
+
+    s(r) = 2*(r mod n_dev) + (r div n_dev) * max(2*n_dev, steps_w)
+
+i.e. lag 2 behind row r-1, except a device serializes its own rows. Total
+steps:
+
+    T = s(steps_h - 1) + steps_w
+      = steps_w <= 2*n_dev:  2*(steps_h-1) + steps_w      (the IDEAL
+          wavefront — short rows leave devices idle between rows, and
+          partial/short canvases no longer pay full mesh depth), or
+      = steps_w  > 2*n_dev:  ceil(steps_h/n_dev)*steps_w + 2*((steps_h-1)
+          mod n_dev)  (compute-bound: after the 2(n_dev-1)-step ramp every
+          device is busy EVERY step — v2 paid the ramp once per band).
+
+For the 61x61-patch demo on 8 devices: v2 = 4 dispatches x (30+14) = 176
+steps; v3 = ONE dispatch of 4*30 + 2*5 = 130 steps, 30/32 devices*steps
+active in steady state.
+
+A device switching to its next row needs that row's upstream buffer, whose
+first partials arrive while the device is still finishing the previous row
+— so the carry holds TWO row buffers per site: the live ``row_read`` and a
+``pending`` buffer for the next row, swapped in when the row starts. The
+accept rule is pure static-schedule arithmetic on the step index (which row
+the upstream sender is on), traced — every device runs the same program.
 """
 
 from __future__ import annotations
@@ -50,112 +72,152 @@ from infinite_texture_gans_tpu.ops.padding import (
     SiteState,
     finalize_row,
     init_halo_state,
-    rotate_rows,
 )
 from infinite_texture_gans_tpu.sampling import latents
 from infinite_texture_gans_tpu.sampling.infinite import canvas_geometry
 
 
+def schedule_constants(steps_w: int, steps_h: int, n_dev: int):
+    """(row_stride, total_T, n_rows_max) of the v3 cyclic wavefront schedule.
+
+    ``row_stride`` is the time between a device's own row starts; row r
+    starts at ``2*(r % n_dev) + (r // n_dev) * row_stride``. Exposed for the
+    PERF.md utilization model and its test.
+    """
+    row_stride = max(2 * n_dev, steps_w)
+    last = steps_h - 1
+    total_T = 2 * (last % n_dev) + (last // n_dev) * row_stride + steps_w
+    return row_stride, total_T, ceil(steps_h / n_dev)
+
+
 @functools.lru_cache(maxsize=8)
-def _band_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
-    """Compiled one-band wavefront pass, cached per geometry (a per-call jit
-    closure would recompile every band/call)."""
+def _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
+    """Compiled whole-canvas wavefront pass, cached per geometry (a per-call
+    jit closure would recompile every call)."""
     n_dev = mesh.devices.size
     gh, gw, base = gen.num_patches_h, gen.num_patches_w, gen.base_res
     P_res = gen.patch_resolution
     z_cols = gw * base + latents.Z_PAD
     specs = gen.site_specs()
     outer = gen.outer_padding
-    total_T = steps_w + 2 * (n_dev - 1)
-    perm = [(i, i + 1) for i in range(n_dev - 1)]
+    stride, total_T, n_rows_max = schedule_constants(steps_w, steps_h, n_dev)
+    # cyclic: the "band handoff" is just the n_dev-1 -> 0 hop (for n_dev == 1
+    # the self-loop makes pending <- own finalized buffer, i.e. the
+    # sequential engine's rotate_rows)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
     map_specs = tuple(P("data") for _ in range(n_maps))
 
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P("data"), map_specs, P(), P()),
-        out_specs=(P("data"), P("data")),
+        in_specs=(P(), P("data"), map_specs),
+        out_specs=P("data"),
         check_rep=False,
     )
-    def band(variables, z_strips, maps_strips, row_read_init, band_idx):
+    def canvas_pass(variables, z_strips, maps_strips):
         d = lax.axis_index("data")
-        z_strip = z_strips[0]  # (N, z_rows_h, tot_w*base+2, zd)
-        first_row = jnp.logical_and(band_idx == 0, d == 0)
+        z_rows = z_strips[0]  # (n_rows_max, N, z_rows_h, tot_w*base+2, zd)
+        ds = (d - 1) % n_dev  # upstream device (cyclic)
 
         halo = init_halo_state(specs, num_images, gh, gw, tot_w, dtype=gen.dtype)
-        if row_read_init:
-            # device 0 continues below the previous band's last row
-            halo = {
-                name: SiteState(
-                    v=site.v,
-                    row_read=jnp.where(d == 0, row_read_init[name], site.row_read),
-                    row_write=site.row_write,
-                )
-                for name, site in halo.items()
-            }
+        pending = {name: jnp.zeros_like(s.row_read) for name, s in halo.items()}
         subs0 = jnp.zeros(
-            (steps_w, num_images, gh * P_res, gw * P_res, gen.img_ch), gen.dtype
+            (n_rows_max, steps_w, num_images, gh * P_res, gw * P_res, gen.img_ch),
+            gen.dtype,
         )
 
         def body(carry, t):
-            halo, subs = carry
-            c = t - 2 * d
-            active = jnp.logical_and(c >= 0, c < steps_w)
+            halo, pending, subs = carry
+            # --- static-schedule position arithmetic (all traced int32) ---
+            u = t - 2 * d
+            i = jnp.floor_divide(u, stride)
+            c = u - i * stride
+            r = i * n_dev + d
+            active = (i >= 0) & (c < steps_w) & (r < steps_h)
+            us = t - 2 * ds
+            i_s = jnp.floor_divide(us, stride)
+            c_s = us - i_s * stride
+            r_s = i_s * n_dev + ds
+            sender_active = (i_s >= 0) & (c_s < steps_w) & (r_s < steps_h)
+            r_next = (i + 1) * n_dev + d  # next row this device will START
+
             cc = jnp.clip(c, 0, steps_w - 1)
+            ii = jnp.clip(i, 0, n_rows_max - 1)
+
+            # --- row start: pull the pending upstream buffer in, clear the
+            # write buffer (replaces v2's host-side rotate/handoff) ---------
+            start = active & (c == 0)
+            halo = {
+                name: SiteState(
+                    v=site.v,  # unused at first_col
+                    row_read=jnp.where(start, pending[name], site.row_read),
+                    row_write=jnp.where(start, 0, site.row_write).astype(
+                        site.row_write.dtype
+                    ),
+                )
+                for name, site in halo.items()
+            }
+
             z_sub = lax.dynamic_slice_in_dim(
-                z_strip, cc * (gw - 1) * base, z_cols, axis=2
+                lax.dynamic_index_in_dim(z_rows, ii, 0, keepdims=False),
+                cc * (gw - 1) * base,
+                z_cols,
+                axis=2,
             )
             maps_sub = None
             if maps_strips:
                 maps_sub = [
                     lax.dynamic_slice_in_dim(
-                        m[0],
-                        cc * (gw - 1) * (2**i) * base,
-                        gw * (2**i) * base + latents.MAP_PAD,
+                        lax.dynamic_index_in_dim(m[0], ii, 0, keepdims=False),
+                        cc * (gw - 1) * (2**k) * base,
+                        gw * (2**k) * base + latents.MAP_PAD,
                         axis=2,
                     )
-                    for i, m in enumerate(maps_strips)
+                    for k, m in enumerate(maps_strips)
                 ]
-            pos = GridPos(col=cc, first_row=first_row, first_col=cc == 0)
+            pos = GridPos(col=cc, first_row=r == 0, first_col=cc == 0)
             out, halo_new = gen.apply(
                 variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
             )
             halo = jax.tree_util.tree_map(
                 lambda old, new: jnp.where(active, new, old), halo, halo_new
             )
-            subs = subs.at[cc].set(jnp.where(active, out, subs[cc]))
+            subs = subs.at[ii, cc].set(jnp.where(active, out, subs[ii, cc]))
 
-            # ICI halo exchange: ship this row's accumulated bottom-edge
-            # buffers (border cells pre-filled) to the device below; the
-            # receiver reads only the region its wavefront position has
-            # already made final (lag 2 guarantees that). Device 0 has no
-            # upstream neighbour and must keep its band-handoff buffer.
+            # --- ICI halo exchange: ship this row's accumulated bottom-edge
+            # buffer (border cells pre-filled) downstream. The receiver
+            # decides FROM THE SCHEDULE which of its rows the sender is
+            # producing for: its current row's upstream (live overwrite —
+            # lag 2 makes the read window final) or its next row's (buffer
+            # into pending until that row starts). --------------------------
             sends = {
                 name: finalize_row(site, outer).row_write
                 for name, site in halo.items()
             }
             recvs = lax.ppermute(sends, "data", perm)
+            accept_cur = sender_active & active & (r_s == r - 1)
+            accept_pend = sender_active & (r_s == r_next - 1)
             halo = {
                 name: SiteState(
                     v=site.v,
-                    row_read=jnp.where(d == 0, site.row_read, recvs[name]),
+                    row_read=jnp.where(accept_cur, recvs[name], site.row_read),
                     row_write=site.row_write,
                 )
                 for name, site in halo.items()
             }
-            return (halo, subs), None
+            pending = {
+                name: jnp.where(accept_pend, recvs[name], buf)
+                for name, buf in pending.items()
+            }
+            return (halo, pending, subs), None
 
-        (halo, subs), _ = lax.scan(body, (halo, subs0), jnp.arange(total_T))
-        # ready-for-next-row state; the host hands the LAST device's buffer
-        # to device 0 of the next band
-        rotated = {
-            name: rotate_rows(finalize_row(site, outer)) for name, site in halo.items()
-        }
-        handoff = {name: site.row_read[None] for name, site in rotated.items()}
-        return subs[None], handoff
+        (_, _, subs), _ = lax.scan(
+            body, (halo, pending, subs0), jnp.arange(total_T)
+        )
+        return subs[None]
 
-    return band
+    return canvas_pass
 
 
 def generate_canvas_wavefront(
@@ -170,9 +232,9 @@ def generate_canvas_wavefront(
     maps_full=None,
 ) -> np.ndarray:
     """Fill one (out_h, out_w) canvas with its sub-image rows pipelined
-    across the mesh's ``data`` axis. Equal to :func:`generate_canvas`
-    (tests assert it); supports BN and SSM generators and any canvas height
-    (cyclic band assignment when steps_h > mesh size)."""
+    across the mesh's ``data`` axis — ONE device dispatch for the whole
+    canvas, any height (cyclic row assignment), BN and SSM. Equal to
+    :func:`generate_canvas` (tests assert it)."""
     P_res = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
     base = gen.base_res
@@ -197,50 +259,44 @@ def generate_canvas_wavefront(
             mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
         )
     n_maps = len(maps_full) if maps_full is not None else 0
+    _, _, n_rows_max = schedule_constants(steps_w, steps_h, n_dev)
 
-    n_bands = ceil(steps_h / n_dev)
-
-    def strips_for_band(b):
-        """Per-device row strips (device d gets ONLY its rows — the inputs
-        are sharded on the mesh axis, not replicated). Index arithmetic
-        lives in latents.row_strips."""
-        rows = [min(b * n_dev + d, steps_h - 1) for d in range(n_dev)]
-        per_row = [latents.row_strips(z_full, maps_full, r, base, gh) for r in rows]
-        z_b = jnp.stack([z for z, _ in per_row])
-        maps_b = ()
-        if maps_full is not None:
-            maps_b = tuple(
-                jnp.stack([ms[i] for _, ms in per_row]) for i in range(n_maps)
+    # Per-device row strips, ALL rows at once: device d gets rows d, d+n_dev,
+    # ... (inputs sharded on the mesh axis — no full-canvas replication).
+    # Index arithmetic lives in latents.row_strips; clipped repeats for the
+    # ragged tail are computed by an idle device and discarded.
+    per_dev = []
+    for d in range(n_dev):
+        rows = [min(i * n_dev + d, steps_h - 1) for i in range(n_rows_max)]
+        strips = [latents.row_strips(z_full, maps_full, r, base, gh) for r in rows]
+        per_dev.append(strips)
+    z_b = jnp.stack([jnp.stack([z for z, _ in strips]) for strips in per_dev])
+    maps_b = ()
+    if maps_full is not None:
+        maps_b = tuple(
+            jnp.stack(
+                [jnp.stack([ms[k] for _, ms in strips]) for strips in per_dev]
             )
-        return z_b, maps_b
+            for k in range(n_maps)
+        )
 
-    band = _band_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps)
+    fn = _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps)
+    subs = np.asarray(fn(variables, z_b, maps_b))
+    # (n_dev, n_rows_max, steps_w, N, gh*P, gw*P, C)
 
     canvas = np.zeros(
         (num_images, tot_h * P_res, tot_w * P_res, gen.img_ch), np.float32
     )
-    handoff = {
-        name: jnp.zeros_like(site.row_read)
-        for name, site in init_halo_state(
-            gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype
-        ).items()
-    }
-    for b in range(n_bands):
-        z_b, maps_b = strips_for_band(b)
-        subs, handoff_all = band(
-            variables, z_b, maps_b, handoff, jnp.int32(b)
-        )
-        subs = np.asarray(subs)  # (n_dev, steps_w, N, gh*P, gw*P, C)
-        handoff = jax.tree_util.tree_map(lambda a: a[-1], handoff_all)
-        for d in range(n_dev):
-            r = b * n_dev + d
-            if r >= steps_h:
-                break
-            for c in range(steps_w):
-                canvas[
-                    :,
-                    r * (gh - 1) * P_res : (r * (gh - 1) + gh) * P_res,
-                    c * (gw - 1) * P_res : (c * (gw - 1) + gw) * P_res,
-                    :,
-                ] = subs[d, c]
+    # Paint in global RASTER order: the overlap protocol is last-writer-wins
+    # (row r+1 re-paints row r's re-generated bottom patch-row), so the row
+    # loop must follow canvas order, not device-major storage order.
+    for r in range(steps_h):
+        d, i = r % n_dev, r // n_dev
+        for c in range(steps_w):
+            canvas[
+                :,
+                r * (gh - 1) * P_res : (r * (gh - 1) + gh) * P_res,
+                c * (gw - 1) * P_res : (c * (gw - 1) + gw) * P_res,
+                :,
+            ] = subs[d, i, c]
     return canvas[:, :output_resolution_height, :output_resolution_width, :]

@@ -11,11 +11,13 @@ and utils.py:475-527 (the training-time 3x3-grid forward), re-designed:
   one D2H copy per row instead of one per sub-image. The reference's 9-way
   ``image_location`` string dispatch becomes traced boolean flags, so every
   canvas position runs the same program.
-* Canvas assembly is write-full/last-writer-wins into a host buffer, which
-  reproduces the reference's "crop off re-generated right column / bottom
-  row" protocol (utils.py:364-377) with no branching.
-* Device memory stays O(sub-image) + O(canvas row) halo buffers; the canvas
-  lives on host.
+* Canvas assembly happens ON DEVICE: each dispatch group's overlap-trimmed
+  band (the reference's "crop off re-generated right column / bottom row"
+  protocol, utils.py:364-377) is painted into a device canvas, and the host
+  receives ONE finished array — a tunneled host pays ~90 ms fixed latency
+  per device->host transfer, so one transfer beats per-row copies
+  (docs/PERF.md). Device memory is O(canvas); for canvases beyond HBM use
+  :mod:`sampling.stream`, which keeps O(band) on both sides.
 
 The correctness definition is exact agreement with :func:`generate_one_pass`
 (the same network run once over the whole canvas) — the identity the local
@@ -136,6 +138,72 @@ def _row_group_scan(gen, variables, z_full, maps_full, halo, r0, steps_w,
     return subs, halo  # subs: (n_rows, steps_w, N, gh*P, gw*P, C)
 
 
+def dispatch_groups(steps_h: int, gh: int, P: int, row_group: int):
+    """Row-group schedule for the raster engine: (r0, n_rows, kept_rows)
+    triples. The LAST canvas row keeps its bottom patch-row (every other
+    row's bottom patch-row is re-generated by the next row — the reference
+    crop protocol, utils.py:364-377) so it always dispatches on its own."""
+    body = steps_h - 1
+    groups = [
+        (g0, min(row_group, body - g0), (gh - 1) * P)
+        for g0 in range(0, body, max(1, row_group))
+    ]
+    groups.append((steps_h - 1, 1, gh * P))
+    return groups
+
+
+@jax.jit
+def _to_uint8_dev(x):
+    """[-1, 1] float -> uint8 ON DEVICE, byte-identical to the save CLI
+    (``sample.save_image``: (x*0.5+0.5)*255 + 0.5, torchvision rounding).
+    Quantizes in f32: bf16's ~8 mantissa bits (ULP ~1 near 255) would break
+    byte-identity with the host path."""
+    x = x.astype(jnp.float32)
+    return jnp.clip((x * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "kept_rows", "kept_cols", "as_uint8", "row_stride"))
+def _paint_group(canvas_dev, subs_g, r0, kept_rows: int, kept_cols: int,
+                 as_uint8: bool, row_stride: int):
+    """Write one dispatch group's trimmed sub-images into the DEVICE canvas.
+
+    The kept regions of a group tile a contiguous band (each group row k
+    paints rows [(r0+k)*row_stride, +kept_rows) and kept_rows == row_stride
+    for every body group), so the whole group lands as ONE
+    dynamic_update_slice. Device-side assembly exists because the tunneled
+    host pays ~90 ms FIXED latency per device->host array (docs/PERF.md):
+    one transfer of the finished canvas beats per-group copies."""
+    main, tail = _trim_rows(subs_g, kept_rows, kept_cols, as_uint8)
+    n, steps_w, N, kr, kc, C = main.shape
+    band_main = jnp.transpose(main, (2, 0, 3, 1, 4, 5)).reshape(
+        N, n * kr, steps_w * kc, C
+    )
+    band_tail = jnp.transpose(tail, (1, 0, 2, 3, 4)).reshape(N, n * kr, -1, C)
+    band = jnp.concatenate([band_main, band_tail], axis=2)
+    return lax.dynamic_update_slice(
+        canvas_dev, band.astype(canvas_dev.dtype), (0, r0 * row_stride, 0, 0)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("kept_rows", "kept_cols", "as_uint8"))
+def _trim_rows(subs_g, kept_rows: int, kept_cols: int, as_uint8: bool = False):
+    """Device-side overlap trimming: drop each sub-image's re-generated
+    right patch-column and each canvas row's re-generated bottom patch-row
+    BEFORE they cross the (slow) device->host wire — the kept regions tile
+    the canvas exactly, so this transfers 1x the canvas instead of
+    ~(gh*gw)/((gh-1)*(gw-1))x. ``as_uint8`` additionally quantizes on
+    device (4x fewer bytes; byte-identical to the host save path).
+    subs_g (n_rows, steps_w, N, gh*P, gw*P, C) ->
+    main (n_rows, steps_w, N, kept_rows, kept_cols, C),
+    tail (n_rows, N, kept_rows, gw*P - kept_cols, C)."""
+    main = subs_g[:, :, :, :kept_rows, :kept_cols]
+    tail = subs_g[:, -1, :, :kept_rows, kept_cols:]
+    if as_uint8:
+        main, tail = _to_uint8_dev(main), _to_uint8_dev(tail)
+    return main, tail
+
+
 def generate_canvas(
     gen: ResidualPatchGenerator,
     variables,
@@ -147,15 +215,24 @@ def generate_canvas(
     maps_full: Optional[List[jnp.ndarray]] = None,
     progress: bool = False,
     row_group: int = 4,
+    wire: str = "f32",
 ) -> np.ndarray:
     """Raster-scan patch-by-patch generation of an (out_h, out_w) canvas.
 
-    Returns a host numpy array (N, out_h, out_w, img_ch) in [-1, 1].
+    Returns a host numpy array (N, out_h, out_w, img_ch) — float32 in
+    [-1, 1] for ``wire='f32'`` (exact: what the device computed), uint8 for
+    ``wire='u8'`` (quantized ON DEVICE with the save-CLI mapping; 4x less
+    device->host traffic — the wire, not the device, bounds inference wall
+    time on a tunneled host, docs/PERF.md).
     ``z_full``/``maps_full`` may be passed explicitly (e.g. to compare with
     the one-pass oracle); otherwise they are drawn from ``key``.
     ``row_group`` canvas rows are generated per device dispatch (the
-    reference pays one forward + .cpu() per SUB-IMAGE, utils.py:360).
+    reference pays one forward + .cpu() per SUB-IMAGE, utils.py:360); the
+    re-generated overlap regions are trimmed on device and never cross the
+    wire.
     """
+    if wire not in ("f32", "u8"):
+        raise ValueError(f"wire must be 'f32' or 'u8', got {wire!r}")
     P = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
     base = gen.base_res
@@ -173,49 +250,32 @@ def generate_canvas(
 
     halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype)
 
-    canvas = np.zeros(
-        (num_images, tot_h * P, tot_w * P, gen.img_ch), dtype=np.float32
+    as_uint8 = wire == "u8"
+    kept_cols = (gw - 1) * P
+    canvas_dev = jnp.zeros(
+        (num_images, tot_h * P, tot_w * P, gen.img_ch),
+        dtype=jnp.uint8 if as_uint8 else jnp.float32,
     )
 
-    def flush(r0, subs_g):
-        # One D2H copy per row GROUP; write each sub-image into the canvas —
-        # later writes overwrite the re-generated right patch-column /
-        # bottom patch-row (last-writer-wins == reference crop protocol,
-        # utils.py:364-377).
-        subs_np = np.asarray(subs_g)  # (n, steps_w, N, gh*P, gw*P, C)
-        for k in range(subs_np.shape[0]):
-            r = r0 + k
-            for c in range(steps_w):
-                canvas[
-                    :,
-                    r * (gh - 1) * P : (r * (gh - 1) + gh) * P,
-                    c * (gw - 1) * P : (c * (gw - 1) + gw) * P,
-                    :,
-                ] = subs_np[k, c]
+    for r0, n, kept_rows in dispatch_groups(steps_h, gh, P, row_group):
+        subs_g, halo = _row_group_scan(
+            gen, variables, z_full, maps_full, halo, jnp.int32(r0),
+            steps_w, n, maps_full is not None,
+        )
+        canvas_dev = _paint_group(
+            canvas_dev, subs_g, jnp.int32(r0), kept_rows, kept_cols,
+            as_uint8, (gh - 1) * P,
+        )
         if progress:
             print(
-                f"  rows {r0 + 1}-{r0 + subs_np.shape[0]}/{steps_h} "
-                f"({steps_w} sub-images each)",
+                f"  rows {r0 + 1}-{r0 + n}/{steps_h} "
+                f"({steps_w} sub-images each) dispatched",
                 flush=True,
             )
 
-    row_group = max(1, min(row_group, steps_h))
-    pending = None
-    for g0 in range(0, steps_h, row_group):
-        n = min(row_group, steps_h - g0)
-        subs_g, halo = _row_group_scan(
-            gen, variables, z_full, maps_full, halo, jnp.int32(g0),
-            steps_w, n, maps_full is not None,
-        )
-        try:  # start the D2H early; consume after the NEXT group dispatches
-            subs_g.copy_to_host_async()
-        except AttributeError:  # pragma: no cover - non-array backends
-            pass
-        if pending is not None:
-            flush(*pending)
-        pending = (g0, subs_g)
-    flush(*pending)
-    return canvas[:, :output_resolution_height, :output_resolution_width, :]
+    # crop on device, then ONE device->host transfer of the finished canvas
+    out = canvas_dev[:, :output_resolution_height, :output_resolution_width, :]
+    return np.asarray(out)
 
 
 def generate_one_pass(

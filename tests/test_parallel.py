@@ -316,3 +316,27 @@ def test_train_step_collective_layout():
     chlo = sample_crops.lower(img, jax.random.key(0), 48, 16).compile().as_text()
     for op in ("all-gather", "all-to-all", "collective-permute", "all-reduce"):
         assert op not in chlo, f"crop sampler emitted {op}"
+
+
+def test_wavefront_schedule_constants():
+    """The v3 cyclic schedule (PERF.md utilization model): short canvases run
+    at the IDEAL wavefront depth 2*(steps_h-1)+steps_w (no full-mesh-depth
+    penalty — the round-2 advisor finding), and wide canvases are compute-
+    bound with the 2(n_dev-1) ramp paid ONCE, not once per band."""
+    from infinite_texture_gans_tpu.parallel.wavefront import schedule_constants
+
+    # narrow canvas (steps_w <= 2*n_dev): ideal wavefront
+    _, T, _ = schedule_constants(4, 3, 8)
+    assert T == 2 * (3 - 1) + 4
+    _, T, _ = schedule_constants(4, 10, 8)  # multiband narrow
+    # row stride = 2*n_dev: last row (9) starts at 2*1 + 1*16 = 18
+    assert T == 18 + 4
+    # wide canvas (steps_w > 2*n_dev): one ramp + ceil(h/n)*w steps
+    _, T, n_rows = schedule_constants(30, 30, 8)
+    assert T == (30 // 8) * 30 + 2 * ((30 - 1) % 8) + 30 == 130
+    assert n_rows == 4
+    # v2 for the same 61x61 demo paid 4 dispatches x (30 + 14) = 176 steps
+    assert T < 176
+    # single device degenerates to the sequential raster scan length
+    _, T, _ = schedule_constants(5, 4, 1)
+    assert T == 5 * 4

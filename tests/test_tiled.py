@@ -87,6 +87,41 @@ def test_streamed_canvas_equals_generate_canvas(tmp_path):
     np.testing.assert_array_equal(img, _to_uint8(ref[0]))
 
 
+def test_canvas_u8_wire_matches_host_quantization():
+    """generate_canvas(wire='u8') — device-side quantization + overlap
+    trimming used by the sample CLI — must equal quantizing the exact f32
+    canvas on the host, byte for byte, including with num_images > 1."""
+    import numpy as np
+
+    import jax
+
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+    from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+    from infinite_texture_gans_tpu.sampling.latents import build_z_full
+    from infinite_texture_gans_tpu.sampling.stream import _to_uint8
+
+    gen = ResidualPatchGenerator(
+        z_dim=8, G_ch=8, base_res=4, n_layers_G=4, attention=False, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding="replicate",
+    )
+    z0 = jax.numpy.zeros((2, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    P = gen.patch_resolution
+    out_h, out_w = 5 * P - 9, 7 * P - 3
+    z = build_z_full(jax.random.key(6), 2, 8, 4, 5, 7)
+    f32 = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=2, z_full=z
+    )
+    u8 = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=2,
+        z_full=z, wire="u8",
+    )
+    assert u8.dtype == np.uint8 and u8.shape == (2, out_h, out_w, 3)
+    np.testing.assert_array_equal(u8, _to_uint8(f32))
+
+
 def test_save_image_matches_stream_quantization(tmp_path):
     """The default CLI's save_image and the streamed path's _to_uint8 must
     quantize identically (round-half-up like torchvision's
