@@ -155,11 +155,18 @@ def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true
 def _rows_stack(slab, bh):
     """(C, BH+2, W) slab -> (3C, BH*W): the three row offsets stacked on the
     sublane axis (dy major, channel minor). Requires W % 128 == 0 for the
-    lane-merge reshape (Mosaic restriction; the wrapper lane-pads)."""
+    lane-merge reshape (Mosaic restriction; the wrapper lane-pads).
+
+    Reshape FIRST, then slice: ``slab[:, dy:dy+bh, :].reshape`` is the same
+    values, but Mosaic lowers the dy=1,2 sublane-misaligned slices as
+    full-slab shuffles (~35% of kernel time, measured); after the (free)
+    lane-merge reshape the same windows are 128-ALIGNED lane slices
+    (dy*W % 128 == 0), which copy at full vector width."""
     c = slab.shape[0]
     w = slab.shape[2]
+    flat = slab.reshape(c, slab.shape[1] * w)
     return jnp.concatenate(
-        [slab[:, dy : dy + bh, :].reshape(c, bh * w) for dy in range(3)], axis=0
+        [flat[:, dy * w : dy * w + bh * w] for dy in range(3)], axis=0
     )
 
 
