@@ -35,11 +35,16 @@ class StemConv4x4(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, *, update_sn: bool = False) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, *, update_sn: bool = False, chw_in: bool = False
+    ) -> jnp.ndarray:
         from infinite_texture_gans_tpu.ops.conv import _u_init, orthogonal, spectral_normalize
-        from infinite_texture_gans_tpu.ops.pallas_conv import conv4x4s2_stem
+        from infinite_texture_gans_tpu.ops.pallas_conv import (
+            conv4x4s2_stem,
+            conv4x4s2_stem_chw,
+        )
 
-        in_ch = x.shape[-1]
+        in_ch = x.shape[1] if chw_in else x.shape[-1]
         kernel = self.param(
             "kernel", orthogonal(column_axis=-1), (4, 4, in_ch, self.features)
         )
@@ -56,7 +61,8 @@ class StemConv4x4(nn.Module):
                 u_var.value = u_new
                 v_var.value = v_new
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        return conv4x4s2_stem(
+        stem = conv4x4s2_stem_chw if chw_in else conv4x4s2_stem
+        return stem(
             x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
         )
 
@@ -91,14 +97,42 @@ class PatchDiscriminator(nn.Module):
             return False
         return x.shape[-1] == 3 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
 
+    def _stem_ok_chw(self, x: jnp.ndarray) -> bool:
+        return (
+            self.kw == 4
+            and x.shape[1] == 3
+            and x.shape[2] % 2 == 0
+            and x.shape[3] % 2 == 0
+        )
+
     @nn.compact
     def __call__(
-        self, x: jnp.ndarray, *, train: bool = True, update_sn: bool = False
+        self,
+        x: jnp.ndarray,
+        *,
+        train: bool = True,
+        update_sn: bool = False,
+        chw_in: bool = False,
     ) -> jnp.ndarray:
+        """``chw_in``: x arrives channels-major (N, C, H, W) — the layout the
+        generator's Pallas tail emits for fakes. conv0 then runs the Pallas
+        CHW stem so no C=3 NHWC image/grad ever materializes at the G<->D
+        boundary (docs/PERF.md round 3); the parameter tree is identical to
+        the NHWC path (StemConv4x4 declares the same names)."""
         conv = conv4x4 if self.kw == 4 else conv3x3
         lrelu = activation_fn(0.2)
 
-        if self._use_stem(x):
+        if chw_in and not self._stem_ok_chw(x):
+            # incompatible geometry (img_ch != 3 / odd size / kw != 4):
+            # fall back to the ordinary NHWC path via one transpose
+            x = jnp.transpose(x, (0, 2, 3, 1))
+            chw_in = False
+
+        if chw_in:
+            h = StemConv4x4(
+                self.base_ch, sn=self.SN, dtype=self.dtype, name="conv0"
+            )(x, update_sn=update_sn, chw_in=True)
+        elif self._use_stem(x):
             h = StemConv4x4(
                 self.base_ch, sn=self.SN, dtype=self.dtype, name="conv0"
             )(x, update_sn=update_sn)

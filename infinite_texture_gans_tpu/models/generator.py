@@ -118,6 +118,25 @@ class ResidualPatchGenerator(nn.Module):
     # channels-major.
     chw_tail: str = "auto"
 
+    def emits_chw(self) -> bool:
+        """True when the channels-major Pallas tail will run, i.e. when
+        ``__call__(out_chw=True)`` returns the fake image channels-major
+        with NO transpose anywhere (the train step uses this to decide the
+        G->D image wire; see ops/pallas_conv.py: conv4x4s2_stem_chw)."""
+        chw_capable = (
+            self.padding_mode == "local"
+            and not self.SN
+            and self.leak == 0
+            and self.chw_tail != "off"
+        )
+        if not chw_capable:
+            return False
+        plan = generator_channel_plan(self.G_ch, self.n_layers_G)
+        for i, (cin, _) in enumerate(plan, start=1):
+            if i > 3 and cin <= 64:
+                return self.chw_tail == "on" or jax.default_backend() == "tpu"
+        return False
+
     @nn.compact
     def __call__(
         self,
@@ -128,6 +147,7 @@ class ResidualPatchGenerator(nn.Module):
         halo: Optional[Dict[str, SiteState]] = None,
         pos: Optional[GridPos] = None,
         update_sn: bool = False,
+        out_chw: bool = False,
     ):
         if maps is None:
             maps = [None] * self.n_layers_G
@@ -275,6 +295,11 @@ class ResidualPatchGenerator(nn.Module):
                 halo_out["final"] = hf
             if w_true is not None and h.shape[3] != w_true:
                 h = h[..., :w_true]  # drop the padded-carry lanes once
+            if out_chw:
+                # channels-major image wire: the consumer (the D's Pallas
+                # stem, train_step) takes (N, C, H, W) directly — no C=3
+                # NHWC relayout at the G<->D boundary
+                return jnp.tanh(h), (halo_out if halo is not None else None)
             # tanh AFTER the transpose: XLA fuses it into the relayout copy
             # instead of materializing a CHW tanh + two layout round-trips
             out = jnp.tanh(jnp.transpose(h, (0, 2, 3, 1)))
@@ -299,6 +324,8 @@ class ResidualPatchGenerator(nn.Module):
         if halo is not None:
             halo_out["final"] = hf
         out = jnp.tanh(h)
+        if out_chw:  # honor the layout contract even off the Pallas tail
+            out = jnp.transpose(out, (0, 3, 1, 2))
         return out, (halo_out if halo is not None else None)
 
     @property

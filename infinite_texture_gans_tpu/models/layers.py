@@ -7,6 +7,7 @@ Attention, generator/discriminator residual blocks.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import flax.linen as nn
@@ -33,11 +34,58 @@ from infinite_texture_gans_tpu.ops.pallas_conv import (
 )
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _leaky_relu_saved_y(x, slope: float):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def _leaky_fwd(x, slope):
+    y = _leaky_relu_saved_y(x, slope)
+    return y, y
+
+
+def _leaky_bwd(slope, y, g):
+    # sign(y) == sign(x) for any positive slope, so the mask derives from
+    # the OUTPUT — which the following conv's backward already saves. With
+    # the default vjp XLA instead materializes the x>=0 pred tensor and
+    # bit-packs it into u32s; the pack/unpack fusions measured ~2 ms/step
+    # of the Exp-1 discriminator (docs/PERF.md round 3).
+    return (jnp.where(y >= 0, g, slope * g),)
+
+
+_leaky_relu_saved_y.defvjp(_leaky_fwd, _leaky_bwd)
+
+
+@jax.custom_vjp
+def _relu_saved_y(x):
+    return jnp.maximum(x, 0)
+
+
+def _relu_fwd(x):
+    y = _relu_saved_y(x)
+    return y, y
+
+
+def _relu_bwd(y, g):
+    # y > 0 <=> x > 0, and jax.nn.relu's gradient at x == 0 is 0, so
+    # where(y > 0, g, 0) is exact — same saved-output trick as the leaky
+    # variant above.
+    return (jnp.where(y > 0, g, 0.0).astype(g.dtype),)
+
+
+_relu_saved_y.defvjp(_relu_fwd, _relu_bwd)
+
+
 def activation_fn(leak: float):
-    """LeakyReLU(leak) if leak > 0 else ReLU (reference models/layers.py:289-292)."""
+    """LeakyReLU(leak) if leak > 0 else ReLU (reference models/layers.py:289-292).
+
+    Both variants carry a custom vjp that derives the backward mask from the
+    saved OUTPUT (already live as the next layer's input) instead of letting
+    XLA materialize and u32-bit-pack an x>=0 pred tensor (~2 ms/step across
+    the Exp-1 discriminator, docs/PERF.md round 3)."""
     if leak > 0:
-        return lambda x: nn.leaky_relu(x, negative_slope=leak)
-    return nn.relu
+        return lambda x: _leaky_relu_saved_y(x, leak)
+    return _relu_saved_y
 
 
 class RawConvParams(nn.Module):
@@ -258,7 +306,7 @@ class StochasticSpatialModulation(nn.Module):
         actv = conv3x3(self.hidden, self.sn, padding=p, dtype=self.dtype, name="mlp_shared")(
             maps.astype(jnp.float32), update_sn=update_sn
         )
-        actv = nn.relu(actv)
+        actv = _relu_saved_y(actv)
         embed = Conv(
             2 * c,
             3,
@@ -421,7 +469,7 @@ class ResBlockGenerator(nn.Module):
             ones1 = jnp.ones((c_in,), jnp.float32)
             zeros1 = jnp.zeros((c_in,), jnp.float32)
             if self.type_norm == "SSM":
-                a = nn.relu(
+                a = _relu_saved_y(
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
                     )(x, maps, train=train, update_sn=update_sn, chw=True,
@@ -434,7 +482,7 @@ class ResBlockGenerator(nn.Module):
                 (out, halo1), st1 = (r1[:2], r1[2] if want else None)
                 onesf = jnp.ones((self.features,), jnp.float32)
                 zerosf = jnp.zeros((self.features,), jnp.float32)
-                a2 = nn.relu(
+                a2 = _relu_saved_y(
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
                     )(out, maps, train=train, update_sn=update_sn, chw=True,

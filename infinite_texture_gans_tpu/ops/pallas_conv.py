@@ -1812,11 +1812,15 @@ def conv4x4s2_stem(x, w, b):
 
 
 def _stem_impl(x, w, b):
-    n, h, w_img, c3 = x.shape
+    xc = jnp.transpose(x, (0, 3, 1, 2))  # (N, 3, H, W)
+    return _stem_impl_chw(xc, w, b)
+
+
+def _stem_impl_chw(xc, w, b):
+    n, c3, h, w_img = xc.shape
     co = w.shape[-1]
     w2 = w_img // 2
     bw = _round_up_128(w2)
-    xc = jnp.transpose(x, (0, 3, 1, 2))  # (N, 3, H, W)
     # Mosaic needs the block height 8-aligned (the (1, bho*BW) -> (bho, BW)
     # tap reshape); pad rows so H/2 is a multiple of 8. Zero row padding
     # equals the canvas zero padding, so real output rows are unchanged.
@@ -1824,9 +1828,9 @@ def _stem_impl(x, w, b):
     h2p = h2 + (-h2) % 8
     if h2p != h2:
         xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 2 * (h2p - h2)), (0, 0)))
-    mp = _stem_mp_matrix(w_img, bw, w2, x.dtype)
-    wm = _stem_pack_w(w).astype(x.dtype)
-    y = _stem_fwd_call(xc, mp, wm, b.reshape(co, 1).astype(x.dtype))
+    mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
+    wm = _stem_pack_w(w).astype(xc.dtype)
+    y = _stem_fwd_call(xc, mp, wm, b.reshape(co, 1).astype(xc.dtype))
     return jnp.transpose(y[:, :, :h2, :w2], (0, 2, 3, 1)), xc
 
 
@@ -1835,7 +1839,8 @@ def _stem_fwd_rule(x, w, b):
     return y, (xc, w, b)
 
 
-def _stem_bwd_rule(res, g):
+def _stem_bwd_impl(res, g):
+    """Shared backward: returns (dx CHANNELS-MAJOR (N, 3, H, W), dw, db)."""
     xc, w, b = res  # xc row-padded to H/2 multiple-of-8 (see _stem_impl)
     n, c3, hp, w_img = xc.shape
     co = w.shape[-1]
@@ -1853,11 +1858,39 @@ def _stem_bwd_rule(res, g):
     wt = _stem_pack_w(w).T.astype(gc.dtype)  # (48, Co)
     mpt_c = _stem_mpt_chunks(w_img, bw, w2, gc.dtype)
     dxc = _stem_dx_call(gc, wt, mpt_c)
-    dx = jnp.transpose(dxc[:, :, : 2 * h2, :], (0, 2, 3, 1))
-    return dx.astype(gc.dtype), dw, db[0].astype(b.dtype)
+    return dxc[:, :, : 2 * h2, :].astype(gc.dtype), dw, db[0].astype(b.dtype)
+
+
+def _stem_bwd_rule(res, g):
+    dxc, dw, db = _stem_bwd_impl(res, g)
+    return jnp.transpose(dxc, (0, 2, 3, 1)), dw, db
 
 
 conv4x4s2_stem.defvjp(_stem_fwd_rule, _stem_bwd_rule)
+
+
+@jax.custom_vjp
+def conv4x4s2_stem_chw(x_chw, w, b):
+    """Same stem conv, but the image arrives CHANNELS-MAJOR (N, 3, H, W) —
+    the layout the generator's Pallas tail already produces for the fake
+    image — and the gradient wrt the image is returned channels-major too.
+    No C=3 NHWC array (the pathological ~43x lane-padded layout that cost
+    ~1.8 ms/step of copies + transposed-conv fusions at the G<->D boundary,
+    docs/PERF.md round 3) ever materializes on the fake path. Output stays
+    NHWC (N, H/2, W/2, Co) for the rest of the XLA discriminator."""
+    return _stem_impl_chw(x_chw, w, b)[0]
+
+
+def _stem_fwd_rule_chw(x_chw, w, b):
+    y, xc = _stem_impl_chw(x_chw, w, b)
+    return y, (xc, w, b)
+
+
+def _stem_bwd_rule_chw(res, g):
+    return _stem_bwd_impl(res, g)
+
+
+conv4x4s2_stem_chw.defvjp(_stem_fwd_rule_chw, _stem_bwd_rule_chw)
 
 
 def conv3x3_chw_reference(x, w, b, scale, shift, relu=True,

@@ -153,6 +153,19 @@ def make_train_step(
     gh, gw = G.num_patches_h, G.num_patches_w
     local = G.padding_mode == "local"
 
+    # Channels-major G->D image wire: when the G's Pallas tail is active and
+    # the D stem can consume CHW, the fake image (and its gradient) stays
+    # (N, C, H, W) end to end — the C=3 NHWC boundary layouts measured
+    # ~1.8 ms/step of copies + pathological transposed-conv fusions
+    # (docs/PERF.md round 3). WGAN-GP interpolates fake with the NHWC real
+    # batch, so it keeps the NHWC wire.
+    chw_wire = (
+        G.emits_chw()
+        and getattr(D, "kw", None) == 4
+        and G.img_ch == 3
+        and loss_type != "wgan"
+    )
+
     # Data-parallel G: z/maps are drawn inside the jit from a replicated key,
     # so without a constraint GSPMD replicates the entire G forward/backward
     # on every device (the D grads all-reduce, the G grads never need to —
@@ -202,14 +215,16 @@ def make_train_step(
     def g_forward(params_G, aux_G, z, maps):
         variables = {"params": params_G, **aux_G}
         (fake, _), new_aux = G.apply(
-            variables, z, maps, train=True, update_sn=True, mutable=list(aux_G.keys())
+            variables, z, maps, train=True, update_sn=True,
+            out_chw=chw_wire, mutable=list(aux_G.keys())
         )
         return fake, dict(new_aux)
 
-    def d_apply(params_D, aux_D, x):
+    def d_apply(params_D, aux_D, x, chw_in=False):
         variables = {"params": params_D, **aux_D}
         out = D.apply(
-            variables, x, train=True, update_sn=True, mutable=list(aux_D.keys())
+            variables, x, train=True, update_sn=True, chw_in=chw_in,
+            mutable=list(aux_D.keys())
         )
         if isinstance(out, tuple):
             logit, new_aux = out
@@ -245,7 +260,7 @@ def make_train_step(
 
             def d_loss_fn(p, aux):
                 rl, aux1 = d_apply(p, aux, real_x)
-                fl, aux2 = d_apply(p, aux1, fake)
+                fl, aux2 = d_apply(p, aux1, fake, chw_in=chw_wire)
                 lr_ = L.d_loss_real(loss_type, rl, label_t)
                 lf_ = L.d_loss_fake(loss_type, fl, 0.0)
                 total = lr_ + lf_
@@ -274,7 +289,7 @@ def make_train_step(
         # pull the cotangent through the saved G forward (one G backward, no
         # second G forward) --------------------------------------------------
         def g_loss_from_fake(fk):
-            logit, new_aux_D = d_apply(params_D, aux_D, fk)
+            logit, new_aux_D = d_apply(params_D, aux_D, fk, chw_in=chw_wire)
             return L.g_loss(loss_type, logit, label_t), new_aux_D
 
         (gl_, aux_D_after), dfake = jax.value_and_grad(

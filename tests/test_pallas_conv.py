@@ -130,3 +130,34 @@ def test_d_stem_conv_matches_xla():
             np.testing.assert_allclose(
                 np.asarray(a) / gs, np.asarray(b) / gs, atol=1e-5, err_msg=str(p)
             )
+
+
+def test_d_stem_chw_wire_matches_nhwc():
+    """conv4x4s2_stem_chw (the channels-major G->D image wire) must equal the
+    NHWC stem in outputs, and its input gradient must be the transpose of
+    the NHWC stem's — for even and odd-ish widths (lane-pad path)."""
+    from infinite_texture_gans_tpu.ops.pallas_conv import (
+        conv4x4s2_stem,
+        conv4x4s2_stem_chw,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, wimg in ((48, 48), (32, 96)):
+        x = jnp.asarray(rng.standard_normal((2, h, wimg, 3)), jnp.float32)
+        xc = jnp.transpose(x, (0, 3, 1, 2))
+        w4 = jnp.asarray(rng.standard_normal((4, 4, 3, 8)) * 0.2, jnp.float32)
+        b = jnp.asarray(rng.standard_normal((8,)) * 0.1, jnp.float32)
+
+        y_ref, vjp_ref = jax.vjp(conv4x4s2_stem, x, w4, b)
+        y_chw, vjp_chw = jax.vjp(conv4x4s2_stem_chw, xc, w4, b)
+        np.testing.assert_allclose(np.asarray(y_chw), np.asarray(y_ref), atol=1e-5)
+
+        g = jnp.asarray(rng.standard_normal(y_ref.shape), jnp.float32)
+        dx_r, dw_r, db_r = vjp_ref(g)
+        dx_c, dw_c, db_c = vjp_chw(g)
+        np.testing.assert_allclose(
+            np.asarray(dx_c), np.asarray(jnp.transpose(dx_r, (0, 3, 1, 2))),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(np.asarray(dw_c), np.asarray(dw_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(db_c), np.asarray(db_r), atol=1e-5)

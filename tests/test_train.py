@@ -348,3 +348,45 @@ def test_full_train_loop_smoke(tmp_path):
         variables, jnp.zeros((1, 14, 14, 16))
     )
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_chw_image_wire_matches_nhwc():
+    """The channels-major G->D image wire (G out_chw + the D's Pallas CHW
+    stem, used on TPU to keep the C=3 fake image out of NHWC layouts) must
+    produce the same losses and parameter updates as the NHWC wire.
+    ``chw_tail='on'`` forces the Pallas tail in interpret mode on CPU."""
+    from infinite_texture_gans_tpu.train.train_step import create_train_state, make_train_step
+
+    real = jnp.asarray(
+        np.random.default_rng(0).standard_normal((2, 48, 48, 3)).clip(-1, 1),
+        jnp.float32,
+    )
+
+    results = []
+    for chw_tail in ("on", "off"):
+        args = tiny_args(chw_tail=chw_tail)
+        G, D = build(args)
+        assert G.emits_chw() == (chw_tail == "on")
+        state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 4)
+        step = make_train_step(
+            G, D, tx_G, tx_D, loss_type="standard", smooth=False,
+            disc_iters=1, num_images=args.num_images, use_ema=True,
+        )
+        state, metrics = step(state, real, jax.random.key(1))
+        results.append((metrics, state))
+
+    m_chw, s_chw = results[0]
+    m_ref, s_ref = results[1]
+    for k in m_ref:
+        np.testing.assert_allclose(
+            float(m_chw[k]), float(m_ref[k]), rtol=2e-4, atol=2e-5, err_msg=k
+        )
+    # parameter updates agree (both paths compute the same math)
+    flat_c = jax.tree_util.tree_leaves(s_chw.params_G)
+    flat_r = jax.tree_util.tree_leaves(s_ref.params_G)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+    flat_c = jax.tree_util.tree_leaves(s_chw.params_D)
+    flat_r = jax.tree_util.tree_leaves(s_ref.params_D)
+    for a, b in zip(flat_c, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
