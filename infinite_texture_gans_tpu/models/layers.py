@@ -46,10 +46,11 @@ def _leaky_fwd(x, slope):
 
 def _leaky_bwd(slope, y, g):
     # sign(y) == sign(x) for any positive slope, so the mask derives from
-    # the OUTPUT — which the following conv's backward already saves. With
-    # the default vjp XLA instead materializes the x>=0 pred tensor and
-    # bit-packs it into u32s; the pack/unpack fusions measured ~2 ms/step
-    # of the Exp-1 discriminator (docs/PERF.md round 3).
+    # the OUTPUT — which is live anyway as the next layer's saved input —
+    # instead of the default vjp's u32-bit-packed x>=0 predicate tensor.
+    # Measured step-time-neutral on v5e (XLA hides the pack/unpack inside
+    # its conv fusions); kept for the smaller backward residual set
+    # (docs/PERF.md round 3 A/B).
     return (jnp.where(y >= 0, g, slope * g),)
 
 
@@ -81,8 +82,10 @@ def activation_fn(leak: float):
 
     Both variants carry a custom vjp that derives the backward mask from the
     saved OUTPUT (already live as the next layer's input) instead of letting
-    XLA materialize and u32-bit-pack an x>=0 pred tensor (~2 ms/step across
-    the Exp-1 discriminator, docs/PERF.md round 3)."""
+    XLA materialize and u32-bit-pack an x>=0 pred tensor. Traced A/B on v5e:
+    step-time-neutral (XLA folds the pack into its fusions either way); kept
+    because it drops the packed-mask residuals from the saved set
+    (docs/PERF.md round 3 A/B)."""
     if leak > 0:
         return lambda x: _leaky_relu_saved_y(x, leak)
     return _relu_saved_y

@@ -1874,10 +1874,11 @@ def conv4x4s2_stem_chw(x_chw, w, b):
     """Same stem conv, but the image arrives CHANNELS-MAJOR (N, 3, H, W) —
     the layout the generator's Pallas tail already produces for the fake
     image — and the gradient wrt the image is returned channels-major too.
-    No C=3 NHWC array (the pathological ~43x lane-padded layout that cost
-    ~1.8 ms/step of copies + transposed-conv fusions at the G<->D boundary,
-    docs/PERF.md round 3) ever materializes on the fake path. Output stays
-    NHWC (N, H/2, W/2, Co) for the rest of the XLA discriminator."""
+    No C=3 NHWC array (a pathological ~43x lane-padded layout) materializes
+    on the fake path. Traced A/B on v5e: step-time-neutral vs letting XLA
+    transpose + fuse conv0 itself (docs/PERF.md round 3 A/B); kept to hold
+    the G<->D boundary in Pallas-owned layouts. Output stays NHWC
+    (N, H/2, W/2, Co) for the rest of the XLA discriminator."""
     return _stem_impl_chw(x_chw, w, b)[0]
 
 

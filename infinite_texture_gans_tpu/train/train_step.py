@@ -155,10 +155,13 @@ def make_train_step(
 
     # Channels-major G->D image wire: when the G's Pallas tail is active and
     # the D stem can consume CHW, the fake image (and its gradient) stays
-    # (N, C, H, W) end to end — the C=3 NHWC boundary layouts measured
-    # ~1.8 ms/step of copies + pathological transposed-conv fusions
-    # (docs/PERF.md round 3). WGAN-GP interpolates fake with the NHWC real
-    # batch, so it keeps the NHWC wire.
+    # (N, C, H, W) end to end — no C=3 NHWC array materializes at the G<->D
+    # boundary. Traced A/B on v5e: step-time-neutral (the Pallas stem pair
+    # costs what the removed XLA conv0 fusions + boundary copies cost); kept
+    # because it removes the worst-layout (C=3 NHWC) intermediates and keeps
+    # the boundary Pallas-owned for future kernel fusion (docs/PERF.md
+    # round 3 A/B). WGAN-GP interpolates fake with the NHWC real batch, so
+    # it keeps the NHWC wire.
     chw_wire = (
         G.emits_chw()
         and getattr(D, "kw", None) == 4
