@@ -19,17 +19,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def device_ms(trace_dir: str, match: str) -> float:
-    """Total device ms of ops whose name contains ``match``."""
-    from parse_trace import load_xspace  # noqa: F401  (sibling import)
-
+def device_ms_total(trace_dir: str, match: str) -> float:
+    """TOTAL device ms across all ops whose name contains ``match`` (the
+    caller divides by its known call count — a per-event mean would bias
+    comparisons if a configuration split the work into more ops/events)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from parse_trace import load_xspace
 
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     xs = load_xspace(paths[-1])
     total = 0.0
-    n = 0
     for plane in xs.planes:
         if "TPU" not in plane.name:
             continue
@@ -41,8 +40,7 @@ def device_ms(trace_dir: str, match: str) -> float:
                 name = ev_meta[ev.metadata_id].name if ev.metadata_id in ev_meta else ""
                 if match in name:
                     total += ev.duration_ps / 1e9
-                    n += 1
-    return total / max(n, 1)
+    return total
 
 
 def main(which: str = "fwd"):
@@ -106,7 +104,7 @@ def main(which: str = "fwd"):
                     for _ in range(iters):
                         y = f(arg)
                     jax.block_until_ready(y)
-                ms = device_ms(tdir, match)
+                ms = device_ms_total(tdir, match) / iters
                 gflop = 2 * 9 * c * co * n * h * w / 1e9
                 print(f"{name} {which} budget={budget_mb:3d}MB bh={bh:3d} "
                       f"nt={h // bh:3d}: {ms:7.3f} ms/call "

@@ -126,6 +126,11 @@ def prepare_parser() -> argparse.ArgumentParser:
     parser.add_argument('--resume', type=str, default=None,
                         help='path to a framework checkpoint to resume training from '
                              '(params, optimizer states, EMA, epoch, loss history)')
+    parser.add_argument('--platform', type=str, default='auto',
+                        choices=['auto', 'cpu', 'tpu'],
+                        help='pin the JAX platform (auto = ambient backend); '
+                             'cpu lets the CLIs run on hosts without an '
+                             'attached accelerator')
 
     return parser
 
@@ -147,7 +152,22 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                              'host memory and ~9x less device->host traffic '
                              '(uint8, overlap-trimmed); use for very large '
                              'outputs. Output name must end in .png.')
+    parser.add_argument('--platform', type=str, default='auto',
+                        choices=['auto', 'cpu', 'tpu'],
+                        help='pin the JAX platform (auto = ambient backend)')
     return parser
+
+
+def apply_platform(args) -> None:
+    """Pin the JAX platform from --platform. Must run before ANY backend
+    touch (even jax.devices() initializes it); on hosts whose sitecustomize
+    pre-imports jax with a pinned platform, env vars cannot re-pin — only
+    jax.config can (CLAUDE.md / docs/PERF.md)."""
+    platform = getattr(args, 'platform', 'auto')
+    if platform and platform != 'auto':
+        import jax
+
+        jax.config.update('jax_platforms', platform)
 
 
 def args_to_dict(args: argparse.Namespace) -> Dict[str, Any]:

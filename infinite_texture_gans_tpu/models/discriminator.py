@@ -38,7 +38,7 @@ class StemConv4x4(nn.Module):
     def __call__(
         self, x: jnp.ndarray, *, update_sn: bool = False, chw_in: bool = False
     ) -> jnp.ndarray:
-        from infinite_texture_gans_tpu.ops.conv import _u_init, orthogonal, spectral_normalize
+        from infinite_texture_gans_tpu.ops.conv import orthogonal, sn_kernel
         from infinite_texture_gans_tpu.ops.pallas_conv import (
             conv4x4s2_stem,
             conv4x4s2_stem_chw,
@@ -49,17 +49,7 @@ class StemConv4x4(nn.Module):
             "kernel", orthogonal(column_axis=-1), (4, 4, in_ch, self.features)
         )
         if self.sn:
-            u_var = self.variable("spectral", "u", _u_init, self.features, 0)
-            v_var = self.variable(
-                "spectral", "v", _u_init, kernel.size // self.features, 1
-            )
-            do_update = update_sn and not self.is_initializing()
-            kernel, u_new, v_new = spectral_normalize(
-                kernel, u_var.value, v_var.value, do_update
-            )
-            if do_update:
-                u_var.value = u_new
-                v_var.value = v_new
+            kernel = sn_kernel(self, kernel, self.features, update_sn)
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         stem = conv4x4s2_stem_chw if chw_in else conv4x4s2_stem
         return stem(

@@ -118,24 +118,31 @@ class ResidualPatchGenerator(nn.Module):
     # channels-major.
     chw_tail: str = "auto"
 
-    def emits_chw(self) -> bool:
-        """True when the channels-major Pallas tail will run, i.e. when
-        ``__call__(out_chw=True)`` returns the fake image channels-major
-        with NO transpose anywhere (the train step uses this to decide the
-        G->D image wire; see ops/pallas_conv.py: conv4x4s2_stem_chw)."""
-        chw_capable = (
+    def _chw_gate(self, i: int, cin: int) -> bool:
+        """THE layout-decision predicate: block ``i`` (input channels
+        ``cin``) runs on the channels-major Pallas tail iff this is True.
+        Shared by ``__call__`` and :meth:`emits_chw` so the train step's
+        wire choice can never disagree with what the forward actually does.
+        ``i > 3``: per-patch attention (after block3) needs NHWC."""
+        capable = (
             self.padding_mode == "local"
             and not self.SN
             and self.leak == 0
             and self.chw_tail != "off"
         )
-        if not chw_capable:
+        if not capable or i <= 3 or cin > 64:
             return False
+        return self.chw_tail == "on" or jax.default_backend() == "tpu"
+
+    def emits_chw(self) -> bool:
+        """True when the channels-major Pallas tail will run, i.e. when
+        ``__call__(out_chw=True)`` returns the fake image channels-major
+        with NO transpose anywhere (the train step uses this to decide the
+        G->D image wire; see ops/pallas_conv.py: conv4x4s2_stem_chw)."""
         plan = generator_channel_plan(self.G_ch, self.n_layers_G)
-        for i, (cin, _) in enumerate(plan, start=1):
-            if i > 3 and cin <= 64:
-                return self.chw_tail == "on" or jax.default_backend() == "tpu"
-        return False
+        return any(
+            self._chw_gate(i, cin) for i, (cin, _) in enumerate(plan, start=1)
+        )
 
     @nn.compact
     def __call__(
@@ -179,21 +186,9 @@ class ResidualPatchGenerator(nn.Module):
         # channel count is small and its merged width is lane-aligned, run
         # the rest of the stack on (N, C, H, W) arrays — NHWC would store
         # them ~10x padded in HBM (ops/pallas_conv.py). Monotone: channels
-        # only shrink and widths only grow down the stack.
-        chw_capable = (
-            local
-            and not self.SN
-            and self.leak == 0
-            and self.chw_tail != "off"
-        )
-
-        def chw_gate(i: int, cin: int) -> bool:
-            # i > 3: per-patch attention (after block3) needs NHWC
-            if not chw_capable or i <= 3:
-                return False
-            if self.chw_tail == "on":
-                return cin <= 64
-            return cin <= 64 and jax.default_backend() == "tpu"
+        # only shrink and widths only grow down the stack. The gate itself
+        # lives on the module (``_chw_gate``) so ``emits_chw`` stays in sync.
+        chw_gate = self._chw_gate
 
         is_chw = False
         cur_stats = None  # producer-kernel BN moments threaded block to block
@@ -274,7 +269,9 @@ class ResidualPatchGenerator(nn.Module):
             from infinite_texture_gans_tpu.models.layers import BNFold
 
             if self.type_norm == "BN":
-                scf, shf = BNFold(name="bn")(h, train=train, stats=cur_stats)
+                scf, shf = BNFold(name="bn")(
+                    h, train=train, stats=cur_stats, w_true=w_true
+                )
                 fold = (scf, shf, True)
             else:
                 # SSM mode has no final norm: plain activation before the conv

@@ -122,7 +122,13 @@ class BNFold(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x_chw: jnp.ndarray, *, train: bool, stats=None):
+    def __call__(
+        self, x_chw: jnp.ndarray, *, train: bool, stats=None,
+        w_true: Optional[int] = None,
+    ):
+        """``w_true``: on the padded-carry path (physical width lane-padded
+        past the valid columns) moments must only see the first ``w_true``
+        columns; required whenever ``stats`` is None and x may be padded."""
         c = x_chw.shape[1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
@@ -144,6 +150,8 @@ class BNFold(nn.Module):
                 v = s2 / cnt - jnp.square(m)
             else:
                 xf = x_chw.astype(jnp.float32)
+                if w_true is not None and w_true != xf.shape[3]:
+                    xf = xf[:, :, :, :w_true]  # exclude lane-pad columns
                 m = jnp.mean(xf, axis=(0, 2, 3))
                 v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
             if not self.is_initializing():
@@ -495,13 +503,17 @@ class ResBlockGenerator(nn.Module):
                     a2, halo2, pos, chw_fold=(onesf, zerosf, False)
                 )
             else:
-                sc1, sh1 = BNFold(name="bn1")(x, train=train, stats=in_stats)
+                sc1, sh1 = BNFold(name="bn1")(
+                    x, train=train, stats=in_stats, w_true=pad_w_true
+                )
                 r1 = ConvLP(self.features, name="conv1", **convlp_kw)(
                     x, halo1, pos, chw_fold=(sc1, sh1, True), want_stats=want,
                     pad_w_true=pad_w_true,
                 )
                 (out, halo1), st1 = (r1[:2], r1[2] if want else None)
-                sc2, sh2 = BNFold(name="bn2")(out, train=train, stats=st1)
+                sc2, sh2 = BNFold(name="bn2")(
+                    out, train=train, stats=st1, w_true=pad_w_true
+                )
                 out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
                     out, halo2, pos, chw_fold=(sc2, sh2, True),
                     pad_w_true=pad_w_true,

@@ -72,6 +72,24 @@ def _u_init(features: int, salt: int = 0) -> jnp.ndarray:
     return u / (jnp.linalg.norm(u) + 1e-12)
 
 
+def sn_kernel(mdl, kernel: jnp.ndarray, features: int, update_sn: bool):
+    """Declare the ``spectral`` u/v variables on module ``mdl`` and return
+    the spectrally-normalized kernel. THE single copy of the SN
+    parameter/spectral-tree contract (names, shapes, one power-iteration
+    step per update) — checkpoints and the torch importer depend on it, so
+    every conv/dense/stem module must route through here."""
+    u_var = mdl.variable("spectral", "u", _u_init, features, 0)
+    v_var = mdl.variable("spectral", "v", _u_init, kernel.size // features, 1)
+    do_update = update_sn and not mdl.is_initializing()
+    kernel, u_new, v_new = spectral_normalize(
+        kernel, u_var.value, v_var.value, do_update
+    )
+    if do_update:
+        u_var.value = u_new
+        v_var.value = v_new
+    return kernel
+
+
 class Conv(nn.Module):
     """NHWC conv with orthogonal init and optional spectral normalization.
 
@@ -96,17 +114,7 @@ class Conv(nn.Module):
         init = self.kernel_init if self.kernel_init is not None else orthogonal(column_axis=-1)
         kernel = self.param("kernel", init, (ks, ks, in_ch, self.features))
         if self.sn:
-            u_var = self.variable("spectral", "u", _u_init, self.features, 0)
-            v_var = self.variable(
-                "spectral", "v", _u_init, kernel.size // self.features, 1
-            )
-            do_update = update_sn and not self.is_initializing()
-            kernel, u_new, v_new = spectral_normalize(
-                kernel, u_var.value, v_var.value, do_update
-            )
-            if do_update:
-                u_var.value = u_new
-                v_var.value = v_new
+            kernel = sn_kernel(self, kernel, self.features, update_sn)
         pad = [(self.padding, self.padding)] * 2
         y = lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -135,15 +143,7 @@ class Dense(nn.Module):
         in_ch = x.shape[-1]
         kernel = self.param("kernel", orthogonal(column_axis=-1), (in_ch, self.features))
         if self.sn:
-            u_var = self.variable("spectral", "u", _u_init, self.features, 0)
-            v_var = self.variable("spectral", "v", _u_init, in_ch, 1)
-            do_update = update_sn and not self.is_initializing()
-            kernel, u_new, v_new = spectral_normalize(
-                kernel, u_var.value, v_var.value, do_update
-            )
-            if do_update:
-                u_var.value = u_new
-                v_var.value = v_new
+            kernel = sn_kernel(self, kernel, self.features, update_sn)
         y = x.astype(self.dtype) @ kernel.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))

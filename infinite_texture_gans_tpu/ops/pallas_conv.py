@@ -1071,6 +1071,13 @@ def upsample2_chw_p(x, w_true: int, fill: str):
     ``fill`` ('edge' or 'zeros') in its pad columns, baked into the
     interleave matrix."""
     n, c, h, wp_ = x.shape
+    # The backward reconstructs x's physical width as round_up_128(w_true)
+    # (shapes can't ride the residue), so that equality is a contract:
+    if wp_ != _round_up_128(w_true):
+        raise ValueError(
+            f"upsample2_chw_p: physical width {wp_} must be "
+            f"round_up_128(w_true={w_true}) = {_round_up_128(w_true)}"
+        )
     target = 2 * w_true + (-(2 * w_true)) % 128
     e = _up_e_matrix_p(wp_, w_true, target, fill, x.dtype)
     return _up2_fwd_call(x, e)
@@ -1095,10 +1102,8 @@ def _up2_p_bwd_rule(w_true, fill, res, g):
     # pad-column cotangents are zero by the gradient contract; E^T folds
     # nothing extra. Output dx at x's physical width, zero pads.
     n, c, h2, wf = g.shape
-    w_phys = wf  # forward target width; dx phys width = x's
-    # reconstruct x's physical width: smallest 128-multiple >= w_true that
-    # the forward consumed — derivable from h only ambiguously, so carry it
-    # via the E matrix shape instead: rebuild with the same params.
+    # x's physical width is round_up_128(w_true) — enforced by the forward's
+    # contract check, so this reconstruction is exact.
     x_phys = _round_up_128(w_true)
     e = _up_e_matrix_p(x_phys, w_true, wf, fill, g.dtype)
     dx = _up2_bwd_call(g, jnp.transpose(e, (1, 0)))

@@ -234,7 +234,16 @@ def generate_canvas_wavefront(
     """Fill one (out_h, out_w) canvas with its sub-image rows pipelined
     across the mesh's ``data`` axis — ONE device dispatch for the whole
     canvas, any height (cyclic row assignment), BN and SSM. Equal to
-    :func:`generate_canvas` (tests assert it)."""
+    :func:`generate_canvas` (tests assert it).
+
+    Memory: each device buffers its ceil(steps_h/n_dev) rows of sub-images
+    for the whole dispatch, so per-device HBM grows O(canvas / n_dev) —
+    the price of the single-dispatch, zero-host-roundtrip schedule (v2
+    banded dispatches held one band but paid a D2H handoff per band). A
+    canvas whose per-device buffer would exceed ``~6 GiB`` is rejected
+    with guidance rather than left to OOM inside the scan; for huge
+    canvases use :mod:`sampling.stream` (O(band) memory, single device)
+    or call this per horizontal slab."""
     P_res = gen.patch_resolution
     gh, gw = gen.num_patches_h, gen.num_patches_w
     base = gen.base_res
@@ -251,6 +260,25 @@ def generate_canvas_wavefront(
             "schedule's halo read window would race the row buffer"
         )
 
+    _, _, n_rows_max = schedule_constants(steps_w, steps_h, n_dev)
+
+    # Reject canvases whose per-device sub-image buffer cannot fit (see
+    # docstring) instead of OOMing inside the compiled scan. Checked BEFORE
+    # the (also canvas-sized) latent build.
+    itemsize = jnp.dtype(gen.dtype).itemsize
+    subs_bytes = (
+        n_rows_max * steps_w * num_images
+        * (gh * P_res) * (gw * P_res) * gen.img_ch * itemsize
+    )
+    limit = 6 * 1024**3
+    if subs_bytes > limit:
+        raise ValueError(
+            f"wavefront per-device sub-image buffer would be "
+            f"{subs_bytes / 1024**3:.1f} GiB (> {limit / 1024**3:.0f} GiB): "
+            "generate per horizontal slab, or use sampling.stream "
+            "(O(band) memory) for canvases this large"
+        )
+
     zk, mk = jax.random.split(key)
     if z_full is None:
         z_full = latents.build_z_full(zk, num_images, gen.z_dim, base, tot_h, tot_w)
@@ -259,7 +287,6 @@ def generate_canvas_wavefront(
             mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
         )
     n_maps = len(maps_full) if maps_full is not None else 0
-    _, _, n_rows_max = schedule_constants(steps_w, steps_h, n_dev)
 
     # Per-device row strips, ALL rows at once: device d gets rows d, d+n_dev,
     # ... (inputs sharded on the mesh axis — no full-canvas replication).

@@ -23,17 +23,25 @@ def save_image(img: np.ndarray, path: str) -> None:
     """(H, W, C) float in [-1, 1] -> image file ((img*0.5+0.5), reference
     test_sample.py:79). Rounds like torchvision's save_image
     (mul(255).add_(0.5) before the uint8 cast) so the bytes match both the
-    reference and the streamed path's ``_to_uint8``."""
+    reference and the streamed path's ``_to_uint8``. A uint8 input (already
+    quantized, e.g. on device by the canvas engine's u8 wire) is saved
+    as-is — ONE saving code path for both wires."""
     from PIL import Image
 
-    arr = np.clip((img * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if img.dtype == np.uint8:
+        arr = img
+    else:
+        arr = np.clip((img * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(np.uint8)
     if arr.shape[-1] == 1:
         arr = arr[:, :, 0]
     Image.fromarray(arr).save(path)
 
 
 def main():
+    from infinite_texture_gans_tpu.config import apply_platform
+
     args_sample = prepare_sample_parser().parse_args()
+    apply_platform(args_sample)  # before any backend touch
     netG, variables, args = load_generator_from_checkpoint(args_sample.model_path)
     print(args)
 
@@ -83,12 +91,7 @@ def main():
         folder = os.path.dirname(args_sample.model_path)
         saving_path = os.path.join(folder, args_sample.output_name)
         print("The image is saved as:", saving_path)
-        arr = img_u8[0]
-        if arr.shape[-1] == 1:
-            arr = arr[:, :, 0]
-        from PIL import Image
-
-        Image.fromarray(arr).save(saving_path)
+        save_image(img_u8[0], saving_path)
         return
     else:
         scale = 2 ** (netG.n_layers_G - 1)

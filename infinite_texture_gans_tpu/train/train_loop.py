@@ -91,6 +91,9 @@ def param_count(tree) -> int:
 
 
 def train(args) -> None:
+    from infinite_texture_gans_tpu.config import apply_platform
+
+    apply_platform(args)  # must precede prepare_device's jax.devices()
     device = prepare_device(args)
     if getattr(args, "num_workers", 0):
         print(

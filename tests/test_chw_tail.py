@@ -195,3 +195,40 @@ def test_halo_scan_chw_ssm_matches_one_pass():
     )
     onep = np.asarray(generate_one_pass(gen, variables, z5, m5, 5, 5))
     np.testing.assert_allclose(pbp, onep, atol=2e-5, rtol=1e-4)
+
+
+def test_bnfold_w_true_excludes_pad_columns():
+    """BNFold's stats=None fallback must compute moments over only the
+    w_true valid columns when the input is lane-padded (padded-carry path);
+    the running-stat update must match the unpadded input's exactly."""
+    from infinite_texture_gans_tpu.models.layers import BNFold
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 5, 6, 96)), jnp.float32)
+    # replicate-edge lane padding to width 128 (what _pad_w_lanes produces)
+    xp = jnp.concatenate([x, jnp.repeat(x[..., -1:], 32, axis=3)], axis=3)
+
+    bn = BNFold()
+    v = bn.init(jax.random.key(0), x, train=True)
+    ref, st_ref = bn.apply(v, x, train=True, mutable=["batch_stats"])
+    pad, st_pad = bn.apply(v, xp, train=True, w_true=96, mutable=["batch_stats"])
+    for a, b in zip(ref, pad):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        st_ref, st_pad,
+    )
+    # sanity: WITHOUT w_true the padded input yields different (wrong) stats
+    bad, _ = bn.apply(v, xp, train=True, mutable=["batch_stats"])
+    assert not np.allclose(np.asarray(bad[1]), np.asarray(ref[1]))
+
+
+def test_upsample2_chw_p_rejects_unpadded_width():
+    """The padded-carry upsample's backward reconstructs x's physical width
+    as round_up_128(w_true) — the forward must reject inputs that violate
+    that contract instead of silently mis-folding gradients."""
+    from infinite_texture_gans_tpu.ops.pallas_conv import upsample2_chw_p
+
+    x = jnp.zeros((1, 4, 8, 96), jnp.float32)  # physical width != 128
+    with pytest.raises(ValueError, match="round_up_128"):
+        upsample2_chw_p(x, 96, "edge")

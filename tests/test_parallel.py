@@ -340,3 +340,23 @@ def test_wavefront_schedule_constants():
     # single device degenerates to the sequential raster scan length
     _, T, _ = schedule_constants(5, 4, 1)
     assert T == 5 * 4
+
+
+def test_wavefront_rejects_oversized_canvas():
+    """A canvas whose per-device sub-image buffer would exceed the HBM bound
+    must be rejected up front (before the canvas-sized latent build), not
+    left to OOM inside the compiled scan."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen = tiny_gen()
+    mesh = make_mesh("data:2")
+    P = gen.patch_resolution
+    with pytest.raises(ValueError, match="GiB"):
+        generate_canvas_wavefront(
+            gen, {}, jax.random.key(0),
+            output_resolution_height=4000 * P,
+            output_resolution_width=4000 * P,
+            mesh=mesh,
+        )

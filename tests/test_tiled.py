@@ -141,6 +141,12 @@ def test_save_image_matches_stream_quantization(tmp_path):
     saved = np.asarray(Image.open(p))
     np.testing.assert_array_equal(saved, _to_uint8(img))
 
+    # an already-quantized uint8 array (the canvas engine's u8 wire) must be
+    # saved byte-for-byte as-is through the SAME function
+    p2 = str(tmp_path / "q8.png")
+    save_image(_to_uint8(img), p2)
+    np.testing.assert_array_equal(np.asarray(Image.open(p2)), _to_uint8(img))
+
 
 def test_seam_mse_width():
     """seam_mse honors its width parameter (VERDICT r2 weak #7): a seam with
