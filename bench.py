@@ -17,12 +17,47 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
 
+def _wait_for_backend(max_wait_s: int = 900) -> bool:
+    """The axon tunnel occasionally goes down, and a backend-init attempt
+    then HANGS (not errors) — which would hang this whole benchmark. Probe
+    device init in a subprocess with a timeout, retrying for up to
+    ``max_wait_s``, so bench.py either runs or fails fast with an honest
+    JSON line instead of wedging the driver."""
+    deadline = time.time() + max_wait_s
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=120, capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() > deadline:
+            return False
+        time.sleep(30)
+
+
 def main() -> None:
+    if not _wait_for_backend():
+        print(json.dumps({
+            "metric": "train_steps_per_sec",
+            "value": 0.0,
+            "unit": "steps/s",
+            "vs_baseline": 0.0,
+            "error": "device backend unavailable (axon tunnel down; init "
+                     "probe hung/failed for 15 min) — see BENCH_r02.json / "
+                     "docs/PERF.md for the last measured numbers",
+        }))
+        return
     t_setup = time.time()
     import jax
     import jax.numpy as jnp
