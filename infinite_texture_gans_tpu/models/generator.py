@@ -193,12 +193,14 @@ class ResidualPatchGenerator(nn.Module):
         is_chw = False
         cur_stats = None  # producer-kernel BN moments threaded block to block
         want_stats = train and halo is None
-        # Padded-carry (ops/pallas_conv.py): in the BN tail, activations
+        # Padded-carry (ops/pallas_conv.py): in the chw tail, activations
         # flow between kernels at physical lane-padded width so no XLA
         # pad/slice fusion (or its relayout copies) sits between Pallas
-        # calls. SSM interleaves XLA elementwise modulation -> stays on the
-        # unpadded path.
-        pad_carry = self.type_norm == "BN" and halo is None
+        # calls. SSM's XLA elementwise modulation rides along: its
+        # gamma/beta are zero-padded out to the physical width and its
+        # moments exclude the pad columns (StochasticSpatialModulation
+        # w_true). The raster halo engine stays on the unpadded path.
+        pad_carry = halo is None
         w_true = None
         for i, (cin, cout) in enumerate(plan, start=1):
             if not is_chw and chw_gate(i, cin):

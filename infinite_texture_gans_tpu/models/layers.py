@@ -296,13 +296,19 @@ class StochasticSpatialModulation(nn.Module):
         update_sn: bool = False,
         chw: bool = False,
         stats=None,
+        w_true: Optional[int] = None,
     ) -> jnp.ndarray:
         c = x.shape[1] if chw else x.shape[-1]
         if chw:
             # channels-major branch: stats over (N, H, W) of (N, C, H, W),
             # identical variable tree to nn.BatchNorm (batch_stats only —
-            # use_scale/use_bias are False in the NHWC branch)
-            out = _StatsBN(name="bn")(x, train=train, stats=stats)
+            # use_scale/use_bias are False in the NHWC branch). ``w_true``:
+            # padded-carry convention — x arrives at physical lane width;
+            # moments exclude the pad columns and gamma/beta (computed at
+            # true width from the maps) are zero-padded out to match (pad
+            # columns then carry (1+0)*BN(x)+0 — don't-care values under the
+            # kernels' pad-masked gradient contract, ops/pallas_conv.py).
+            out = _StatsBN(name="bn")(x, train=train, stats=stats, w_true=w_true)
         else:
             out = nn.BatchNorm(
                 use_running_average=not train,
@@ -331,6 +337,17 @@ class StochasticSpatialModulation(nn.Module):
         )(actv, update_sn=update_sn)
         if chw:
             embed = jnp.transpose(embed, (0, 3, 1, 2))  # -> (N, 2C, H, W)
+            if w_true is not None and embed.shape[3] != out.shape[3]:
+                # EDGE-pad (not zeros): under the padded-carry contract the
+                # pad columns of a replicate-mode activation must hold the
+                # edge value (the conv kernels read column w_true as the
+                # right halo) — so modulated pads must equal the modulated
+                # edge, i.e. gamma/beta pads replicate their edge column.
+                embed = jnp.pad(
+                    embed,
+                    ((0, 0), (0, 0), (0, 0), (0, out.shape[3] - embed.shape[3])),
+                    mode="edge",
+                )
             gamma, beta = jnp.split(embed, 2, axis=1)
         else:
             gamma, beta = jnp.split(embed, 2, axis=-1)
@@ -346,7 +363,10 @@ class _StatsBN(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x_chw: jnp.ndarray, *, train: bool, stats=None) -> jnp.ndarray:
+    def __call__(
+        self, x_chw: jnp.ndarray, *, train: bool, stats=None,
+        w_true: Optional[int] = None,
+    ) -> jnp.ndarray:
         c = x_chw.shape[1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
@@ -361,6 +381,8 @@ class _StatsBN(nn.Module):
                 v = s2 / cnt - jnp.square(m)
             else:
                 xf = x_chw.astype(jnp.float32)
+                if w_true is not None and w_true != xf.shape[3]:
+                    xf = xf[:, :, :, :w_true]  # exclude lane-pad columns
                 m = jnp.mean(xf, axis=(0, 2, 3))
                 v = jnp.mean(jnp.square(xf), axis=(0, 2, 3)) - jnp.square(m)
             if not self.is_initializing():
@@ -484,11 +506,11 @@ class ResBlockGenerator(nn.Module):
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn1"
                     )(x, maps, train=train, update_sn=update_sn, chw=True,
-                      stats=in_stats)
+                      stats=in_stats, w_true=pad_w_true)
                 )
                 r1 = ConvLP(self.features, name="conv1", **convlp_kw)(
                     a, halo1, pos, chw_fold=(ones1, zeros1, False),
-                    want_stats=want,
+                    want_stats=want, pad_w_true=pad_w_true,
                 )
                 (out, halo1), st1 = (r1[:2], r1[2] if want else None)
                 onesf = jnp.ones((self.features,), jnp.float32)
@@ -497,10 +519,11 @@ class ResBlockGenerator(nn.Module):
                     StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn2"
                     )(out, maps, train=train, update_sn=update_sn, chw=True,
-                      stats=st1)
+                      stats=st1, w_true=pad_w_true)
                 )
                 out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
-                    a2, halo2, pos, chw_fold=(onesf, zerosf, False)
+                    a2, halo2, pos, chw_fold=(onesf, zerosf, False),
+                    pad_w_true=pad_w_true,
                 )
             else:
                 sc1, sh1 = BNFold(name="bn1")(
@@ -524,7 +547,7 @@ class ResBlockGenerator(nn.Module):
                     sc = StochasticSpatialModulation(
                         self.sn, self.padding_mode, dtype=self.dtype, name="bn3"
                     )(sc, maps, train=train, update_sn=update_sn, chw=True,
-                      stats=in_stats)
+                      stats=in_stats, w_true=pad_w_true)
                 k3, b3 = RawConvParams(self.features, 1, name="conv3")(x.shape[1])
                 # shortcut conv + residual add in ONE kernel pass
                 if pad_w_true is not None:
