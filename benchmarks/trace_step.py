@@ -2,6 +2,8 @@
 """Trace a few full Exp-1 train steps (bf16 default) and dump the xplane dir.
 
 Usage: python benchmarks/trace_step.py [/tmp/itg_trace_step]
+       BENCH_RECIPE=ssm python benchmarks/trace_step.py [...]  # Exp-3-style
+       SSM recipe (type_norm SSM, n_layers 5/3, crop 128) instead of Exp-1
 Then:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
          python benchmarks/parse_trace.py /tmp/itg_trace_step 40
 """
@@ -29,6 +31,10 @@ def main(trace_dir: str) -> None:
     args.n_layers_G = 6; args.n_layers_D = 4
     args.spec_norm_D = True; args.smooth = True; args.ema = True
     args.random_crop = 192; args.batch_size = 64; args.num_images = 8
+    if os.environ.get("BENCH_RECIPE") == "ssm":
+        # Exp-3-style SSM recipe (reference README.md:41-47 row 3)
+        args.type_norm_G = "SSM"; args.map_dim = 1
+        args.n_layers_G = 5; args.n_layers_D = 3; args.random_crop = 128
     args.compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
 
     G = ResidualPatchGenerator(**generator_kwargs(args))
@@ -39,7 +45,8 @@ def main(trace_dir: str) -> None:
         num_images=8, ema_decay=0.999, use_ema=True,
     )
     real = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (64, 192, 192, 3), dtype=np.float32).clip(-1, 1))
+        (args.batch_size, args.random_crop, args.random_crop, 3),
+        dtype=np.float32).clip(-1, 1))
 
     for i in range(3):  # compile + warm
         state, _ = step(state, real, jax.random.key(i))
