@@ -232,3 +232,43 @@ def test_upsample2_chw_p_rejects_unpadded_width():
     x = jnp.zeros((1, 4, 8, 96), jnp.float32)  # physical width != 128
     with pytest.raises(ValueError, match="round_up_128"):
         upsample2_chw_p(x, 96, "edge")
+
+
+def test_ssm_grads_match():
+    """SSM chw-tail gradients (modulation backward + producer-stats
+    cotangents across the padded-carry contract) must match the NHWC path
+    on shared variables — the SSM analog of test_grads_match."""
+    cfg = dict(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=True, img_ch=3,
+        type_norm="SSM", map_dim=2, padding_mode="local",
+        outer_padding="replicate",
+    )
+    gen_ref = ResidualPatchGenerator(**cfg, chw_tail="off")
+    gen_chw = ResidualPatchGenerator(**cfg, chw_tail="on")
+    z = latents.build_train_z(jax.random.key(1), 2, 16, 4, 3, 3)
+    maps = latents.build_train_maps(jax.random.key(2), 2, 2, 5, 4, 3, 3)
+    variables = dict(
+        jax.jit(lambda z, m: gen_ref.init(jax.random.key(0), z, m, train=True))(z, maps)
+    )
+    params = variables["params"]
+    aux = {"batch_stats": variables["batch_stats"]}
+
+    def loss(gen, p, z, m):
+        (y, _), _ = gen.apply(
+            {"params": p, **aux}, z, m, train=True, mutable=["batch_stats"]
+        )
+        return jnp.mean(y * jnp.sin(y))
+
+    g_ref = jax.jit(jax.grad(lambda p: loss(gen_ref, p, z, maps)))(params)
+    g_chw = jax.jit(jax.grad(lambda p: loss(gen_chw, p, z, maps)))(params)
+    gscale = max(
+        float(np.abs(np.asarray(x)).max()) for x in jax.tree_util.tree_leaves(g_ref)
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_chw),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(b) / gscale, np.asarray(a) / gscale,
+            atol=5e-5, rtol=1e-3, err_msg=str(path),
+        )
