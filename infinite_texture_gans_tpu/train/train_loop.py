@@ -46,9 +46,27 @@ def prepare_device(args):
     primary device for single-device runs (the analog of the reference's
     CUDA_VISIBLE_DEVICES / cuda:<n>); multi-device layouts map --num_gpus /
     --gpu_list onto the mesh (``make_mesh``)."""
+    import threading
+
     import jax
 
-    devices = jax.devices()
+    # A tunneled accelerator backend can HANG at init when its transport is
+    # down; tell the user what is happening and how to proceed instead of
+    # freezing silently.
+    hint = threading.Timer(
+        75.0,
+        lambda: print(
+            "device backend init is taking unusually long — the accelerator "
+            "tunnel may be down; rerun with --platform cpu to train on CPU",
+            flush=True,
+        ),
+    )
+    hint.daemon = True
+    hint.start()
+    try:
+        devices = jax.devices()
+    finally:
+        hint.cancel()
     idx = min(getattr(args, "dev_num", 0) or 0, len(devices) - 1)
     return devices[idx]
 
