@@ -390,3 +390,29 @@ def test_chw_image_wire_matches_nhwc():
     flat_r = jax.tree_util.tree_leaves(s_ref.params_D)
     for a, b in zip(flat_c, flat_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-3, atol=5e-5)
+
+
+def test_lr_schedules_match_reference_semantics():
+    """'exp' = per-epoch gamma 0.99 (torch ExponentialLR stepped each epoch),
+    'step' = milestones [40, 80, 120] gamma 0.5 (MultiStepLR) — reference
+    train.py:61-70. Schedules are per-STEP functions here; they must change
+    only at epoch boundaries."""
+    from infinite_texture_gans_tpu.train.train_step import lr_schedule
+
+    spe = 10  # steps per epoch
+    exp = lr_schedule(2e-4, "exp", spe)
+    for epoch in (0, 1, 7, 150):
+        for step in (epoch * spe, epoch * spe + spe - 1):  # epoch edges
+            np.testing.assert_allclose(
+                float(exp(jnp.int32(step))), 2e-4 * 0.99**epoch, rtol=1e-5
+            )
+
+    step_s = lr_schedule(2e-4, "step", spe)
+    for epoch, factor in ((0, 1), (39, 1), (40, 0.5), (79, 0.5), (80, 0.25),
+                          (119, 0.25), (120, 0.125), (299, 0.125)):
+        np.testing.assert_allclose(
+            float(step_s(jnp.int32(epoch * spe))), 2e-4 * factor, rtol=1e-6
+        )
+
+    const = lr_schedule(2e-4, None, spe)
+    assert const == 2e-4
