@@ -126,6 +126,56 @@ def _halo_spec(c: int, nt: int, w: int):
     )
 
 
+def _chunk_specs(c: int, bh: int, w: int, h: int):
+    """Halo rows WITHOUT a separate XLA-built halo array: alias the source
+    array itself with two extra (1, C, 8, W) BlockSpecs fetching the
+    8-row-ALIGNED chunk that contains block t's top / bottom halo row.
+
+    The old `_halo_rows` strided slice picks rows ≡ bh-1 (mod 8) —
+    sublane-misaligned, so XLA preferred to relayout the ENTIRE producer
+    tensor to an (N, W)-tiled layout before gathering (the ~0.6 ms/step
+    `%copy` items feeding the (nt, N, C, W) halo fusions in the r3 trace).
+    Aligned chunk reads keep the producer's native (H, W) tiling: no halo
+    array, no gather fusion, no relayout. Requires h % 8 == 0 (then
+    `_pick_bh` guarantees bh % 8 == 0); callers fall back to `_halo_rows`
+    otherwise. Row selection inside the kernel is STATIC (row 7 of the
+    chunk above, row 0 of the chunk below) — see `_top_row`/`_bot_row`."""
+    k = bh // 8
+    h8 = h // 8
+    top = pl.BlockSpec(
+        (1, c, 8, w),
+        lambda n, t: (n, 0, jnp.maximum(t * k - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot = pl.BlockSpec(
+        (1, c, 8, w),
+        lambda n, t: (n, 0, jnp.minimum((t + 1) * k, h8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return top, bot
+
+
+def _top_row(ref, t, chunked: bool):
+    """Block t's top halo row (C, W). Chunked: rows [t*bh-8, t*bh) were
+    fetched (clamped to [0, 8) at t == 0) -> row 7, except t == 0 where the
+    canvas border's replicate source is row 0."""
+    if not chunked:
+        return _halo_row_at(ref, t)
+    ch = ref[0]  # (C, 8, W)
+    return jnp.where(t == 0, ch[:, 0, :], ch[:, 7, :]).astype(ch.dtype)
+
+
+def _bot_row(ref, t, nt, chunked: bool):
+    """Block t's bottom halo row (C, W). Chunked: rows [(t+1)*bh, +8) were
+    fetched (clamped to the last chunk at t == nt-1) -> row 0, except
+    t == nt-1 where the canvas border's replicate source is row 7 (= the
+    canvas's own last row h-1)."""
+    if not chunked:
+        return _halo_row_at(ref, t)
+    ch = ref[0]
+    return jnp.where(t == nt - 1, ch[:, 7, :], ch[:, 0, :]).astype(ch.dtype)
+
+
 def _norm_slab(xb, top, bot, sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
                halo_top: bool = False):
     """Assemble the (C, BH+2, W) slab from the block + halo rows, apply the
@@ -223,7 +273,8 @@ def _acc_stats(yc, co, bh, w, w_true, s1_ref, s2_ref, first):
 
 
 def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int,
-                 want_stats: bool = False, padfix: bool = False):
+                 want_stats: bool = False, padfix: bool = False,
+                 chunked: bool = False):
     """Forward kernel factory. Grid (N, H/BH). Requires W % 128 == 0 (the
     wrapper lane-pads other widths; ``w_true`` is the unpadded width).
 
@@ -241,7 +292,8 @@ def _conv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, co: int,
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
         slab = _norm_slab(
-            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            x_ref[0], _top_row(top_ref, t, chunked),
+            _bot_row(bot_ref, t, nt, chunked),
             sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
         )
         s = _rows_stack(slab, bh)  # (3C, BH*W)
@@ -299,9 +351,16 @@ def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str,
     n, c, h, w = x.shape
     co = wp.shape[0] // 3
     bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
-    tops, bots = _halo_rows(x, bh)
+    chunked = h % 8 == 0
+    if chunked:
+        tops = bots = x
+        top_spec, bot_spec = _chunk_specs(c, bh, w, h)
+    else:
+        tops, bots = _halo_rows(x, bh)
+        top_spec = bot_spec = _halo_spec(c, h // bh, w)
     padfix = emit_padded and w_true != w and not zeros_mode
-    kernel = _conv_kernel(relu, zeros_mode, bh, w_true, co, want_stats, padfix)
+    kernel = _conv_kernel(relu, zeros_mode, bh, w_true, co, want_stats, padfix,
+                          chunked)
     out_specs = pl.BlockSpec(
         (1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
     )
@@ -311,11 +370,10 @@ def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str,
         acc_shape = jax.ShapeDtypeStruct((co, 1), jnp.float32)
         out_specs = (out_specs, acc_spec, acc_spec)
         out_shape = (out_shape, acc_shape, acc_shape)
-    nt = h // bh
     in_specs = [
         pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-        _halo_spec(c, nt, w),
-        _halo_spec(c, nt, w),
+        top_spec,
+        bot_spec,
         pl.BlockSpec((3 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -354,22 +412,29 @@ def _conv3x3_chw_fwd(x, wp, b, scale, shift, *, relu: bool, outer_padding: str,
 
 
 def _conv_halo_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int,
-                      c: int, co: int, use_rstrip: bool):
+                      c: int, co: int, use_rstrip: bool,
+                      chunked: bool = False):
     def kernel(*refs):
-        if use_rstrip:
-            (x_ref, top_ref, bot_ref, l_ref, r_ref, wp_ref, b_ref,
-             sc_ref, sh_ref, y_ref) = refs
-        else:
-            (x_ref, top_ref, bot_ref, l_ref, wp_ref, b_ref,
-             sc_ref, sh_ref, y_ref) = refs
+        refs = list(refs)
+        x_ref, top_ref, bot_ref = refs[:3]
+        refs = refs[3:]
+        inj_ref = refs.pop(0) if chunked else None
+        l_ref = refs.pop(0)
+        r_ref = refs.pop(0) if use_rstrip else None
+        wp_ref, b_ref, sc_ref, sh_ref, y_ref = refs
         t = pl.program_id(1)
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
         # post-norm at t==0 (injected), raw otherwise
-        top_pn = _halo_row_at(top_ref, t)
+        if chunked:
+            top_pn = jnp.where(
+                t == 0, inj_ref[0, :, 0, :], top_ref[0][:, 7, :]
+            ).astype(x_ref.dtype)
+        else:
+            top_pn = _halo_row_at(top_ref, t)
         slab = _norm_slab(
-            x_ref[0], top_pn, _halo_row_at(bot_ref, t), sc_ref, sh_ref,
-            relu, zeros_mode, t, nt, bh, w_true, halo_top=True,
+            x_ref[0], top_pn, _bot_row(bot_ref, t, nt, chunked), sc_ref,
+            sh_ref, relu, zeros_mode, t, nt, bh, w_true, halo_top=True,
         )
         # restore the injected (already-normed) top row for the first block
         row = lax.broadcasted_iota(jnp.int32, (1, bh + 2, 1), 1)
@@ -421,21 +486,39 @@ def _conv3x3_chw_fwd_halo(x, wp, b, scale, shift, top_pn, lstack, rstack,
     n, c, h, w = x.shape
     co = wp.shape[0] // 3
     bh = _pick_bh(h, w, 6 * c + 9 * co, x.dtype.itemsize)
-    tops, bots = _halo_rows(x, bh)
-    tops = jnp.concatenate([top_pn[:, :, None, :], tops[:, :, 1:]], axis=2)
+    chunked = h % 8 == 0
     use_rstrip = w_true == w
-    kernel = _conv_halo_kernel(relu, zeros_mode, bh, w_true, c, co, use_rstrip)
+    kernel = _conv_halo_kernel(relu, zeros_mode, bh, w_true, c, co, use_rstrip,
+                               chunked)
     strip_spec = pl.BlockSpec(
         (1, bh, 3 * c), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM
     )
     nt = h // bh
-    in_specs = [
-        pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-        _halo_spec(c, nt, w),
-        _halo_spec(c, nt, w),
-        strip_spec,
-    ]
-    args = [x, tops, bots, lstack]
+    if chunked:
+        top_spec, bot_spec = _chunk_specs(c, bh, w, h)
+        inj_spec = pl.BlockSpec(
+            (1, c, 1, w), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+            inj_spec,
+            strip_spec,
+        ]
+        args = [x, x, x, top_pn[:, :, None, :], lstack]
+    else:
+        tops, bots = _halo_rows(x, bh)
+        tops = jnp.concatenate([top_pn[:, :, None, :], tops[:, :, 1:]], axis=2)
+        in_specs = [
+            pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            _halo_spec(c, nt, w),
+            _halo_spec(c, nt, w),
+            strip_spec,
+        ]
+        args = [x, tops, bots, lstack]
     if use_rstrip:
         in_specs.append(strip_spec)
         args.append(rstack)
@@ -551,7 +634,8 @@ def chw_halo_step(x, w, b, scale, shift, relu, outer_padding, site, pos, gh, gw)
 # Fused backward: dx (+ dscale, dshift) in one kernel.
 
 
-def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: int):
+def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int,
+               co: int, chunked: bool = False):
     """Grid (N, H/BH). Inputs: g block + g halo rows (zeros at canvas
     borders), x block (for the act mask and the per-channel accumulators),
     packed flipped-transposed weights WpT (3C, 3Co), scale/shift. Outputs:
@@ -570,8 +654,8 @@ def _dx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
         nt = pl.num_programs(1)
         w = g_ref.shape[3]
         gb = g_ref[0]  # (Co, BH, W)
-        top = _halo_row_at(gtop_ref, t)  # (Co, W)
-        bot = _halo_row_at(gbot_ref, t)
+        top = _top_row(gtop_ref, t, chunked)  # (Co, W)
+        bot = _bot_row(gbot_ref, t, nt, chunked)
         # gradient slab: zero halo rows at the canvas borders (gradients do
         # not flow in from outside the canvas, any padding mode)
         top = jnp.where(t == 0, 0.0, top).astype(top.dtype)
@@ -673,15 +757,21 @@ def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str,
         shift = _pad_w_lanes(shift, "edge")
     n, co, h, w = g.shape
     bh = _pick_bh(h, w, 2 * c + 6 * co + 6 * c, x.dtype.itemsize)
-    gtops, gbots = _halo_rows(g, bh)
-    kernel = _dx_kernel(relu, zeros_mode, bh, w_true, c, co)
+    chunked = h % 8 == 0
+    if chunked:
+        gtops = gbots = g
+        gtop_spec, gbot_spec = _chunk_specs(co, bh, w, h)
+    else:
+        gtops, gbots = _halo_rows(g, bh)
+        gtop_spec = gbot_spec = _halo_spec(co, h // bh, w)
+    kernel = _dx_kernel(relu, zeros_mode, bh, w_true, c, co, chunked)
     dx, dsc, dsh = pl.pallas_call(
         kernel,
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            _halo_spec(co, h // bh, w),
-            _halo_spec(co, h // bh, w),
+            gtop_spec,
+            gbot_spec,
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((3 * c, 3 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -707,7 +797,8 @@ def _conv3x3_chw_dx(x, g, wpt, scale, shift, *, relu: bool, outer_padding: str,
 # Fused backward: dW (+ db) in one kernel.
 
 
-def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: int):
+def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int,
+               co: int, chunked: bool = False):
     """dW kernel: (3Co, 3C) += Gc @ Sx^T accumulated across every grid block
     (TPU grid is sequential; the output block has a constant index so it
     lives in VMEM for the whole grid). Gc = column-shifted g with the
@@ -720,7 +811,8 @@ def _dw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true: int, c: int, co: i
         nt = pl.num_programs(1)
         w = x_ref.shape[3]
         slab = _norm_slab(
-            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            x_ref[0], _top_row(top_ref, t, chunked),
+            _bot_row(bot_ref, t, nt, chunked),
             sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true,
         )
         sx = _rows_stack(slab, bh)  # (3C, BH*W)
@@ -777,15 +869,22 @@ def _conv3x3_chw_dw(x, g, scale, shift, *, relu: bool, outer_padding: str,
         shift = _pad_w_lanes(shift, "edge")
     n, c, h, w = x.shape
     bh = _pick_bh(h, w, 6 * c + 5 * co, x.dtype.itemsize)
-    tops, bots = _halo_rows(x, bh)
-    kernel = _dw_kernel(relu, outer_padding == "constant", bh, w_true, c, co)
+    chunked = h % 8 == 0
+    if chunked:
+        tops = bots = x
+        top_spec, bot_spec = _chunk_specs(c, bh, w, h)
+    else:
+        tops, bots = _halo_rows(x, bh)
+        top_spec = bot_spec = _halo_spec(c, h // bh, w)
+    kernel = _dw_kernel(relu, outer_padding == "constant", bh, w_true, c, co,
+                        chunked)
     dw, db = pl.pallas_call(
         kernel,
         grid=(n, h // bh),
         in_specs=[
             pl.BlockSpec((1, c, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            _halo_spec(c, h // bh, w),
-            _halo_spec(c, h // bh, w),
+            top_spec,
+            bot_spec,
             pl.BlockSpec((1, co, bh, w), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 1, w), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
@@ -1550,11 +1649,25 @@ def _stem_tstack(x_blk, top, bot, mp_ref, bho, bw, dtype):
     return jnp.concatenate(blocks, axis=0)  # (48, bho*BW)
 
 
-def _stem_kernel(bho: int, bw: int, co: int):
+def _stem_row_zero_border(ref, t, pick7: bool, border_t, chunked: bool):
+    """Stem halo row with ZERO border semantics (the D conv is zero-padded):
+    chunked -> static row 7 (top chunk) or row 0 (bottom chunk), zeroed at
+    the canvas border block ``border_t``."""
+    if not chunked:
+        return _halo_row_at(ref, t)
+    ch = ref[0]
+    row = ch[:, 7, :] if pick7 else ch[:, 0, :]
+    return jnp.where(t == border_t, 0.0, row).astype(ch.dtype)
+
+
+def _stem_kernel(bho: int, bw: int, co: int, chunked: bool = False):
     def kernel(x_ref, top_ref, bot_ref, mp_ref, wm_ref, b_ref, y_ref):
         t = pl.program_id(1)
+        nt = pl.num_programs(1)
         tstack = _stem_tstack(
-            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            x_ref[0],
+            _stem_row_zero_border(top_ref, t, True, 0, chunked),
+            _stem_row_zero_border(bot_ref, t, False, nt - 1, chunked),
             mp_ref, bho, bw, x_ref.dtype,
         )
         y = lax.dot_general(
@@ -1588,6 +1701,32 @@ def _stem_pick_bho(h2: int) -> int:
     return cands[-1] if cands else h2
 
 
+def _stem_chunk_plan(x, bho: int):
+    """Chunked (aligned, relayout-free) stem halo fetch when legal: tops[t]
+    = x row 2*t*bho - 1 (row 7 of chunk t*bho/4 - 1), bots[t] = row
+    2*(t+1)*bho (row 0 of chunk (t+1)*bho/4); borders are zeroed in-kernel
+    (`_stem_row_zero_border`)."""
+    n, c3, h, w_img = x.shape
+    chunked = h % 8 == 0 and bho % 4 == 0
+    if not chunked:
+        tops, bots = _stem_halo_rows(x, bho)
+        spec = _halo_spec(3, (h // 2) // bho, w_img)
+        return False, tops, bots, spec, spec
+    k = bho // 4
+    h8 = h // 8
+    top_spec = pl.BlockSpec(
+        (1, 3, 8, w_img),
+        lambda n, t: (n, 0, jnp.maximum(t * k - 1, 0), 0),
+        memory_space=pltpu.VMEM,
+    )
+    bot_spec = pl.BlockSpec(
+        (1, 3, 8, w_img),
+        lambda n, t: (n, 0, jnp.minimum((t + 1) * k, h8 - 1), 0),
+        memory_space=pltpu.VMEM,
+    )
+    return True, x, x, top_spec, bot_spec
+
+
 @jax.jit
 def _stem_fwd_call(x, mp, wm, b):
     n, c3, h, w_img = x.shape
@@ -1595,15 +1734,15 @@ def _stem_fwd_call(x, mp, wm, b):
     bw = mp.shape[1] // 4
     co = wm.shape[0]
     bho = _stem_pick_bho(h2)
-    tops, bots = _stem_halo_rows(x, bho)
+    chunked, tops, bots, top_spec, bot_spec = _stem_chunk_plan(x, bho)
     nt = h2 // bho
     return pl.pallas_call(
-        _stem_kernel(bho, bw, co),
+        _stem_kernel(bho, bw, co, chunked),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            _halo_spec(3, nt, w_img),
-            _halo_spec(3, nt, w_img),
+            top_spec,
+            bot_spec,
             pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((co, 48), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
@@ -1616,12 +1755,15 @@ def _stem_fwd_call(x, mp, wm, b):
     )(x, tops, bots, mp, wm, b)
 
 
-def _stem_dw_kernel(bho: int, bw: int, co: int):
+def _stem_dw_kernel(bho: int, bw: int, co: int, chunked: bool = False):
     def kernel(x_ref, top_ref, bot_ref, mp_ref, g_ref, dw_ref, db_ref):
         n = pl.program_id(0)
         t = pl.program_id(1)
+        nt = pl.num_programs(1)
         tstack = _stem_tstack(
-            x_ref[0], _halo_row_at(top_ref, t), _halo_row_at(bot_ref, t),
+            x_ref[0],
+            _stem_row_zero_border(top_ref, t, True, 0, chunked),
+            _stem_row_zero_border(bot_ref, t, False, nt - 1, chunked),
             mp_ref, bho, bw, x_ref.dtype,
         )
         gflat = g_ref[0].reshape(co, bho * bw)
@@ -1652,15 +1794,15 @@ def _stem_dw_call(x, mp, g):
     bw = mp.shape[1] // 4
     co = g.shape[1]
     bho = _stem_pick_bho(h2)
-    tops, bots = _stem_halo_rows(x, bho)
+    chunked, tops, bots, top_spec, bot_spec = _stem_chunk_plan(x, bho)
     nt = h2 // bho
     return pl.pallas_call(
-        _stem_dw_kernel(bho, bw, co),
+        _stem_dw_kernel(bho, bw, co, chunked),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
-            _halo_spec(3, nt, w_img),
-            _halo_spec(3, nt, w_img),
+            top_spec,
+            bot_spec,
             pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, co, bho, bw), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
         ],
