@@ -7,6 +7,7 @@ truth used to decide optimization targets. Parses the XSpace proto directly
 (the tensorboard profiler plugin's C++ bridge is version-broken here).
 
 Usage: python benchmarks/parse_trace.py /tmp/itg_trace [top_n]
+       python benchmarks/parse_trace.py /tmp/itg_trace --cat   # category sums
 """
 
 import glob
@@ -23,7 +24,51 @@ def load_xspace(path):
     return xs
 
 
-def main(trace_dir: str, top_n: int = 25) -> None:
+CATEGORIES = [
+    # (label, substring match on the HLO op name); first hit wins
+    ("pallas conv3x3 fwd", "_conv3x3_chw_fwd"),
+    ("pallas conv3x3 dx", "_conv3x3_chw_dx"),
+    ("pallas conv3x3 dw", "_conv3x3_chw_dw"),
+    ("pallas conv1x1", "_conv1x1_chw"),
+    ("pallas upsample", "_up2_chw"),
+    ("pallas stem", "_stem_"),
+    ("layout copies", "%copy"),
+    ("XLA reduce", "reduce"),
+    ("dynamic-update-slice", "dynamic-update-slice"),
+    ("XLA convolution", "convolution"),
+    ("fusions", "fusion"),
+]
+
+
+def categorize(name: str) -> str:
+    # match on the instruction's own name (before " = "), not the full HLO
+    # text — operand names would otherwise pollute the buckets
+    head = name.split(" ", 1)[0]
+    for label, key in CATEGORIES:
+        if key in head:
+            return label
+    if "custom-call" in name.split(" = ", 1)[-1].split("(", 1)[0]:
+        return "pallas other"
+    return "other"
+
+
+def print_categories(plane, ev_meta, n_steps: int) -> None:
+    for line in plane.lines:
+        if line.name != "XLA Ops":
+            continue
+        totals = defaultdict(float)
+        for ev in line.events:
+            name = ev_meta[ev.metadata_id].name if ev.metadata_id in ev_meta else "?"
+            totals[categorize(name)] += ev.duration_ps / 1e9
+        grand = sum(totals.values())
+        print(f"== categories (total {grand:.2f} ms over {n_steps} steps, "
+              f"{grand / max(1, n_steps):.2f} ms/step)")
+        for label, ms in sorted(totals.items(), key=lambda kv: -kv[1]):
+            print(json.dumps({"cat": label, "ms_per_step": round(ms / max(1, n_steps), 3),
+                              "ms_total": round(ms, 2)}))
+
+
+def main(trace_dir: str, top_n: int = 25, cat: bool = False) -> None:
     paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
     if not paths:
         raise SystemExit(f"no xplane.pb under {trace_dir}")
@@ -33,6 +78,13 @@ def main(trace_dir: str, top_n: int = 25) -> None:
         if "TPU" not in plane.name and "device" not in plane.name.lower():
             continue
         ev_meta = {m.id: m for m in plane.event_metadata.values()}
+        if cat:
+            # count real steps as Steps-line events with >1 ms device time
+            n_steps = max(1, sum(
+                1 for line in plane.lines if line.name == "Steps"
+                for ev in line.events if ev.duration_ps > 1e9))
+            print_categories(plane, ev_meta, n_steps)
+            continue
         for line in plane.lines:
             totals = defaultdict(float)
             counts = defaultdict(int)
@@ -54,5 +106,7 @@ def main(trace_dir: str, top_n: int = 25) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/itg_trace",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 25)
+    argv = [a for a in sys.argv[1:] if a != "--cat"]
+    main(argv[0] if argv else "/tmp/itg_trace",
+         int(argv[1]) if len(argv) > 1 else 25,
+         cat="--cat" in sys.argv)
