@@ -1670,11 +1670,16 @@ def _stem_kernel(bho: int, bw: int, co: int, chunked: bool = False):
             _stem_row_zero_border(bot_ref, t, False, nt - 1, chunked),
             mp_ref, bho, bw, x_ref.dtype,
         )
+        # Contract on tstack's 48-row axis with the OUTPUT as (bho*bw, co):
+        # the MXU is indifferent to the contraction order, and storing
+        # pixels-major means the kernel emits NHWC directly — no XLA
+        # transpose of the (N, Co, H2, W2) output on either stem call
+        # (traced at ~0.27 ms/step, docs/PERF.md round 3).
         y = lax.dot_general(
-            wm_ref[:, :], tstack, (((1,), (0,)), ((), ())),
+            tstack, wm_ref[:, :], (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b_ref[:, :]
-        y_ref[0, :, :, :] = y.reshape(co, bho, bw).astype(y_ref.dtype)
+        y_ref[0, :, :, :] = y.reshape(bho, bw, co).astype(y_ref.dtype)
 
     return kernel
 
@@ -1745,12 +1750,12 @@ def _stem_fwd_call(x, mp, wm, b):
             bot_spec,
             pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((co, 48), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, co, bho, bw), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+            (1, bho, bw, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, co, h2, bw), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h2, bw, co), x.dtype),
         interpret=_interpret(),
     )(x, tops, bots, mp, wm, b)
 
@@ -1766,12 +1771,15 @@ def _stem_dw_kernel(bho: int, bw: int, co: int, chunked: bool = False):
             _stem_row_zero_border(bot_ref, t, False, nt - 1, chunked),
             mp_ref, bho, bw, x_ref.dtype,
         )
-        gflat = g_ref[0].reshape(co, bho * bw)
+        # g arrives NHWC (1, bho, bw, co) — the layout XLA's discriminator
+        # backward produces natively, so no boundary transpose of the
+        # incoming gradient is needed.
+        gflat = g_ref[0].reshape(bho * bw, co)
         acc = lax.dot_general(
-            tstack, gflat, (((1,), (1,)), ((), ())),
+            tstack, gflat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (48, Co)
-        db = jnp.sum(gflat.astype(jnp.float32), axis=1, keepdims=True).T  # (1, Co)
+        db = jnp.sum(gflat.astype(jnp.float32), axis=0, keepdims=True)  # (1, Co)
         first = jnp.logical_and(n == 0, t == 0)
 
         @pl.when(first)
@@ -1792,7 +1800,7 @@ def _stem_dw_call(x, mp, g):
     n, c3, h, w_img = x.shape
     h2 = h // 2
     bw = mp.shape[1] // 4
-    co = g.shape[1]
+    co = g.shape[3]
     bho = _stem_pick_bho(h2)
     chunked, tops, bots, top_spec, bot_spec = _stem_chunk_plan(x, bho)
     nt = h2 // bho
@@ -1804,7 +1812,7 @@ def _stem_dw_call(x, mp, g):
             top_spec,
             bot_spec,
             pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, co, bho, bw), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bho, bw, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((48, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
@@ -1836,9 +1844,11 @@ def _stem_mpt_chunks(w_img: int, bw: int, w2: int, dtype) -> jnp.ndarray:
 def _stem_dx_kernel(bho: int, co: int, w_img: int):
     def kernel(g_ref, wt_ref, mpt_ref, dx_ref, topo_ref, boto_ref):
         c_id = pl.program_id(2)
-        gflat = g_ref[0].reshape(co, bho * 128)
+        # g arrives NHWC (1, bho, 128, co); contract its minor co axis with
+        # wt's — same (48, bho*128) tap-grad matrix, no in-kernel transpose.
+        gflat = g_ref[0].reshape(bho * 128, co)
         q = lax.dot_general(
-            wt_ref[:, :], gflat, (((1,), (0,)), ((), ())),
+            wt_ref[:, :], gflat, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(g_ref.dtype)  # (48, bho*128), rows (dy, c, dx)
         mpt = mpt_ref[0]  # (4*128, W)
@@ -1908,7 +1918,7 @@ def _stem_dx_kernel(bho: int, co: int, w_img: int):
 
 @jax.jit
 def _stem_dx_call(g, wt, mpt_c):
-    n, co, h2, bw = g.shape
+    n, h2, bw, co = g.shape
     nc, _, w_img = mpt_c.shape
     bho = _stem_pick_bho(h2)
     nt = h2 // bho
@@ -1916,7 +1926,7 @@ def _stem_dx_call(g, wt, mpt_c):
         _stem_dx_kernel(bho, co, w_img),
         grid=(n, nt, nc),
         in_specs=[
-            pl.BlockSpec((1, co, bho, 128), lambda n, t, c: (n, 0, t, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bho, 128, co), lambda n, t, c: (n, t, c, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((48, co), lambda n, t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * 128, w_img), lambda n, t, c: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1977,8 +1987,8 @@ def _stem_impl_chw(xc, w, b):
         xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 2 * (h2p - h2)), (0, 0)))
     mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
     wm = _stem_pack_w(w).astype(xc.dtype)
-    y = _stem_fwd_call(xc, mp, wm, b.reshape(co, 1).astype(xc.dtype))
-    return jnp.transpose(y[:, :, :h2, :w2], (0, 2, 3, 1)), xc
+    y = _stem_fwd_call(xc, mp, wm, b.reshape(1, co).astype(xc.dtype))
+    return y[:, :h2, :w2, :], xc
 
 
 def _stem_fwd_rule(x, w, b):
@@ -1993,11 +2003,11 @@ def _stem_bwd_impl(res, g):
     co = w.shape[-1]
     w2 = w_img // 2
     bw = _round_up_128(w2)
-    gc = jnp.transpose(g, (0, 3, 1, 2))  # (N, Co, H2, W2)
-    h2 = gc.shape[2]
+    gc = g  # NHWC (N, H2, W2, Co) — the dw/dx kernels load it natively
+    h2 = gc.shape[1]
     h2p = hp // 2
     if bw != w2 or h2p != h2:
-        gc = jnp.pad(gc, ((0, 0), (0, 0), (0, h2p - h2), (0, bw - w2)))
+        gc = jnp.pad(gc, ((0, 0), (0, h2p - h2), (0, bw - w2), (0, 0)))
     mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
     dw_acc, db = _stem_dw_call(xc, mp, gc)
     # rows (dy, c, dx) -> (4, 4, 3, Co) HWIO
