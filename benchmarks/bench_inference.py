@@ -13,8 +13,11 @@ Usage: python benchmarks/bench_inference.py [sizes...]  (default 1024 2048)
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

@@ -162,6 +162,19 @@ def _to_uint8_dev(x):
     return jnp.clip((x * 0.5 + 0.5) * 255.0 + 0.5, 0, 255).astype(jnp.uint8)
 
 
+def _assemble_band(subs_g, kept_rows: int, kept_cols: int, as_uint8: bool):
+    """Trim one group of canvas rows and lay it out as a contiguous band
+    (N, n_rows * kept_rows, canvas_w, C). Shared by the grouped painter and
+    the one-dispatch engine."""
+    main, tail = _trim_rows(subs_g, kept_rows, kept_cols, as_uint8)
+    n, steps_w, N, kr, kc, C = main.shape
+    band_main = jnp.transpose(main, (2, 0, 3, 1, 4, 5)).reshape(
+        N, n * kr, steps_w * kc, C
+    )
+    band_tail = jnp.transpose(tail, (1, 0, 2, 3, 4)).reshape(N, n * kr, -1, C)
+    return jnp.concatenate([band_main, band_tail], axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=(
     "kept_rows", "kept_cols", "as_uint8", "row_stride"))
 def _paint_group(canvas_dev, subs_g, r0, kept_rows: int, kept_cols: int,
@@ -174,16 +187,62 @@ def _paint_group(canvas_dev, subs_g, r0, kept_rows: int, kept_cols: int,
     dynamic_update_slice. Device-side assembly exists because the tunneled
     host pays ~90 ms FIXED latency per device->host array (docs/PERF.md):
     one transfer of the finished canvas beats per-group copies."""
-    main, tail = _trim_rows(subs_g, kept_rows, kept_cols, as_uint8)
-    n, steps_w, N, kr, kc, C = main.shape
-    band_main = jnp.transpose(main, (2, 0, 3, 1, 4, 5)).reshape(
-        N, n * kr, steps_w * kc, C
-    )
-    band_tail = jnp.transpose(tail, (1, 0, 2, 3, 4)).reshape(N, n * kr, -1, C)
-    band = jnp.concatenate([band_main, band_tail], axis=2)
+    band = _assemble_band(subs_g, kept_rows, kept_cols, as_uint8)
     return lax.dynamic_update_slice(
         canvas_dev, band.astype(canvas_dev.dtype), (0, r0 * row_stride, 0, 0)
     )
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "gen", "steps_h", "steps_w", "has_maps", "as_uint8", "out_h", "out_w"))
+def _canvas_dispatch(gen, variables, z_full, maps_full, halo,
+                     steps_h: int, steps_w: int, has_maps: bool,
+                     as_uint8: bool, out_h: int, out_w: int):
+    """The ENTIRE canvas in one device dispatch: raster scan over every row,
+    overlap trimming, band assembly, optional uint8 quantization and the
+    final crop all inside one jit. The host sees one dispatch and one
+    device->host transfer of the finished (N, out_h, out_w, C) array — on a
+    tunneled host each round trip costs ~90 ms fixed, so this is the wall-
+    clock-optimal shape for any canvas whose ~2.25x sub-image working set
+    fits in HBM (larger canvases: sampling/stream.py keeps O(band)).
+
+    The reference pays one forward + .cpu() per sub-image
+    (utils.py:341,360); this is steps_h * steps_w of them in one program."""
+    gh, gw, base = gen.num_patches_h, gen.num_patches_w, gen.base_res
+    P = gen.patch_resolution
+
+    def body(halo, r):
+        z_strip = lax.dynamic_slice_in_dim(
+            z_full, r * (gh - 1) * base, gh * base + latents.Z_PAD, axis=1
+        )
+        maps_strips = None
+        if has_maps:
+            maps_strips = [
+                lax.dynamic_slice_in_dim(
+                    m,
+                    r * (gh - 1) * (2**i) * base,
+                    gh * (2**i) * base + latents.MAP_PAD,
+                    axis=1,
+                )
+                for i, m in enumerate(maps_full)
+            ]
+        subs, halo = _row_impl(
+            gen, variables, z_strip, maps_strips, halo, r == 0, steps_w
+        )
+        return halo, subs
+
+    _, subs = lax.scan(body, halo, jnp.arange(steps_h, dtype=jnp.int32))
+    # subs: (steps_h, steps_w, N, gh*P, gw*P, C). Body rows keep their top
+    # (gh-1)*P rows (the bottom patch-row is re-generated by the next canvas
+    # row — the reference crop protocol, utils.py:364-377); the last row
+    # keeps everything. All shapes static, so assembly is pure reshapes.
+    kept_cols = (gw - 1) * P
+    bands = []
+    if steps_h > 1:
+        bands.append(_assemble_band(subs[:-1], (gh - 1) * P, kept_cols, as_uint8))
+    bands.append(_assemble_band(subs[-1:], gh * P, kept_cols, as_uint8))
+    canvas = jnp.concatenate(bands, axis=1) if len(bands) > 1 else bands[0]
+    return canvas[:, :out_h, :out_w, :]
 
 
 @functools.partial(jax.jit, static_argnames=("kept_rows", "kept_cols", "as_uint8"))
@@ -214,7 +273,7 @@ def generate_canvas(
     z_full: Optional[jnp.ndarray] = None,
     maps_full: Optional[List[jnp.ndarray]] = None,
     progress: bool = False,
-    row_group: int = 4,
+    row_group: Optional[int] = None,
     wire: str = "f32",
 ) -> np.ndarray:
     """Raster-scan patch-by-patch generation of an (out_h, out_w) canvas.
@@ -226,10 +285,13 @@ def generate_canvas(
     time on a tunneled host, docs/PERF.md).
     ``z_full``/``maps_full`` may be passed explicitly (e.g. to compare with
     the one-pass oracle); otherwise they are drawn from ``key``.
-    ``row_group`` canvas rows are generated per device dispatch (the
-    reference pays one forward + .cpu() per SUB-IMAGE, utils.py:360); the
-    re-generated overlap regions are trimmed on device and never cross the
-    wire.
+    ``row_group=None`` (default) generates the WHOLE canvas — scan, overlap
+    trimming, assembly, quantization, crop — in one device dispatch and one
+    device->host transfer (the reference pays one forward + .cpu() per
+    SUB-IMAGE, utils.py:360). Pass an integer to dispatch that many canvas
+    rows at a time instead (bounds the device working set for canvases
+    whose sub-image stack would not fit in HBM; sampling/stream.py
+    additionally keeps the HOST at O(band)).
     """
     if wire not in ("f32", "u8"):
         raise ValueError(f"wire must be 'f32' or 'u8', got {wire!r}")
@@ -251,6 +313,19 @@ def generate_canvas(
     halo = init_halo_state(gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype)
 
     as_uint8 = wire == "u8"
+    if row_group is None:
+        out = _canvas_dispatch(
+            gen, variables, z_full, maps_full, halo, steps_h, steps_w,
+            maps_full is not None, as_uint8,
+            output_resolution_height, output_resolution_width,
+        )
+        if progress:
+            print(
+                f"  {steps_h}x{steps_w} sub-images in one dispatch",
+                flush=True,
+            )
+        return np.asarray(out)
+
     kept_cols = (gw - 1) * P
     canvas_dev = jnp.zeros(
         (num_images, tot_h * P, tot_w * P, gen.img_ch),

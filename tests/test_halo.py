@@ -149,3 +149,29 @@ def test_non_multiple_output_resolution():
     gen = make_gen()
     # output not a multiple of the patch size -> final crop path
     check_canvas_equals_one_pass(gen, 100, 150)
+
+
+def test_one_dispatch_matches_grouped_engine():
+    """The fused one-dispatch engine (row_group=None: scan + trim + assembly
+    + quantize + crop inside ONE jit) must be bit-identical to the grouped
+    painter path for both wires, including a non-multiple final crop."""
+    gen = make_gen()
+    variables = init_gen(gen)
+    out_h, out_w = 96 + 2 * 64, 100  # 3x1 steps, cropped width
+    _, _, tot_h, tot_w = canvas_geometry(
+        out_h, out_w, gen.patch_resolution, gen.num_patches_h, gen.num_patches_w
+    )
+    z_full = latents.build_z_full(
+        jax.random.key(3), 1, gen.z_dim, gen.base_res, tot_h, tot_w
+    )
+    for wire in ("f32", "u8"):
+        fused = generate_canvas(
+            gen, variables, jax.random.key(0), out_h, out_w,
+            num_images=1, z_full=z_full, wire=wire,
+        )
+        for rg in (1, 2):
+            grouped = generate_canvas(
+                gen, variables, jax.random.key(0), out_h, out_w,
+                num_images=1, z_full=z_full, wire=wire, row_group=rg,
+            )
+            np.testing.assert_array_equal(fused, grouped)
