@@ -13,6 +13,7 @@ import random
 import time
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from infinite_texture_gans_tpu.config import (
@@ -223,12 +224,19 @@ def train(args) -> None:
                 jax.profiler.stop_trace()
                 profiled = True
 
+        # Stack the per-step scalars on device and fetch once per leaf:
+        # device_get on the raw list moves ~3*steps_per_epoch tiny arrays,
+        # and on a high-latency link (the axon tunnel) each transfer pays a
+        # round trip — measured ~0.5 s/epoch at 125 steps.
+        stacked = jax.device_get(
+            jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
+        )
         d_run = g_run = 0.0
-        for m, b_size in zip(jax.device_get(epoch_metrics), batch_sizes):
-            d_run += float(m["d_loss_fake"]) * args.num_images + float(
-                m["d_loss_real"]
+        for i, b_size in enumerate(batch_sizes):
+            d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
+                stacked["d_loss_real"][i]
             ) * b_size
-            g_run += float(m["g_loss"]) * args.num_images
+            g_run += float(stacked["g_loss"][i]) * args.num_images
         d_run /= max(1, sum(batch_sizes))
         g_run /= max(1, args.num_images * len(batch_sizes))
         elapsed_min = (time.time() - start_time) / 60
