@@ -242,6 +242,11 @@ def _canvas_dispatch(gen, variables, z_full, maps_full, halo,
         bands.append(_assemble_band(subs[:-1], (gh - 1) * P, kept_cols, as_uint8))
     bands.append(_assemble_band(subs[-1:], gh * P, kept_cols, as_uint8))
     canvas = jnp.concatenate(bands, axis=1) if len(bands) > 1 else bands[0]
+    if not as_uint8:
+        # honor wire='f32' (the grouped path paints into an f32 canvas;
+        # returning the generator's bf16 here would hand callers an
+        # ml_dtypes array that numpy reductions silently accumulate in)
+        canvas = canvas.astype(jnp.float32)
     return canvas[:, :out_h, :out_w, :]
 
 

@@ -17,6 +17,11 @@ def seam_mse(img: np.ndarray, patch_res: int, width: int = 2) -> float:
 
     img: (N, H, W, C) in [-1, 1].
     """
+    # Accumulate in f64 regardless of input dtype: np.mean keeps the array
+    # dtype, and on a bfloat16 canvas (ml_dtypes) a multi-million-element
+    # mean collapses (measured: the seam/natural ratio of one random image
+    # moves from 1.003 in f32 to 292 in bf16).
+    img = np.asarray(img, dtype=np.float64)
     n, h, w, c = img.shape
     width = max(1, int(width))
     diffs = []
@@ -37,6 +42,7 @@ def adjacent_mse_baseline(img: np.ndarray) -> float:
     """MSE between all adjacent pixel lines — the natural image-gradient
     level against which seam_mse should be compared (seams show up as
     seam_mse >> adjacent_mse_baseline)."""
+    img = np.asarray(img, dtype=np.float64)  # see seam_mse dtype note
     dx = np.mean((img[:, :, 1:, :] - img[:, :, :-1, :]) ** 2)
     dy = np.mean((img[:, 1:, :, :] - img[:, :-1, :, :]) ** 2)
     return float((dx + dy) / 2)

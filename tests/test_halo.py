@@ -175,3 +175,18 @@ def test_one_dispatch_matches_grouped_engine():
                 num_images=1, z_full=z_full, wire=wire, row_group=rg,
             )
             np.testing.assert_array_equal(fused, grouped)
+
+
+def test_f32_wire_returns_float32_for_bf16_net():
+    """wire='f32' must hand the host a float32 canvas even when the net
+    computes in bfloat16 (regression: the one-dispatch engine returned the
+    generator dtype, and numpy reductions on an ml_dtypes bfloat16 canvas
+    accumulate in bf16 — a measured 1024^2 seam/natural ratio moved from
+    0.96 to ~116 purely from the dtype)."""
+    gen = make_gen(dtype=jnp.bfloat16)
+    variables = init_gen(gen)
+    for rg in (None, 1):
+        out = generate_canvas(
+            gen, variables, jax.random.key(0), 96, 96, num_images=1, row_group=rg
+        )
+        assert out.dtype == np.float32, (rg, out.dtype)

@@ -191,3 +191,22 @@ def test_streaming_png_writer_errors_and_gray(tmp_path):
         w2.close()
     with pytest.raises(ValueError):
         StreamingPNGWriter(str(tmp_path / "x.png"), 2, 2, channels=4)
+
+
+def test_metrics_accumulate_above_input_dtype():
+    """seam_mse / adjacent_mse_baseline must not accumulate in the input
+    dtype: on an ml_dtypes bfloat16 canvas a multi-million-element np.mean
+    collapses (regression: bench's trained seam/natural ratio read 116 on a
+    correct canvas)."""
+    import ml_dtypes
+
+    from infinite_texture_gans_tpu.utils.metrics import (
+        adjacent_mse_baseline,
+        seam_mse,
+    )
+
+    rng = np.random.default_rng(0)
+    img = np.clip(rng.standard_normal((1, 512, 512, 3)).astype(np.float32) * 0.3, -1, 1)
+    b16 = img.astype(ml_dtypes.bfloat16)
+    assert abs(seam_mse(b16, 128, width=1) - seam_mse(img, 128, width=1)) < 1e-3
+    assert abs(adjacent_mse_baseline(b16) - adjacent_mse_baseline(img)) < 1e-3
