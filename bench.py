@@ -73,6 +73,7 @@ def main() -> None:
     from infinite_texture_gans_tpu.train.train_step import (
         create_train_state,
         make_train_step,
+        make_train_superstep,
     )
 
     # Experiment-1 recipe (BASELINE.md / reference README.md:34)
@@ -96,35 +97,62 @@ def main() -> None:
 
     key = jax.random.key(0)
     state, tx_G, tx_D = create_train_state(G, D, args, key, steps_per_epoch=125)
-    step = make_train_step(
-        G, D, tx_G, tx_D,
+    step_kw = dict(
         loss_type=args.loss, smooth=args.smooth, disc_iters=args.disc_iters,
         num_images=args.num_images, ema_decay=args.ema_decay, use_ema=args.ema,
     )
 
-    real = jax.device_put(
-        np.random.default_rng(0).standard_normal(
-            (args.batch_size, args.random_crop, args.random_crop, 3), dtype=np.float32
-        ).clip(-1, 1)
-    )
-
-    # warmup / compile
-    state, _ = step(state, real, jax.random.key(1))
-    jax.block_until_ready(state.params_G)
-    setup_s = time.time() - t_setup
-
     n_steps = int(os.environ.get("BENCH_STEPS", "40"))
-    # pre-split keys ON DEVICE and materialize the list BEFORE the timer:
-    # both a fresh jax.random.key(i) and a first key-array index inside the
-    # loop would remote-compile/transfer through the axon tunnel and poison
-    # the measurement (the train loop pre-splits per epoch the same way)
-    step_keys = list(jax.random.split(jax.random.key(2), n_steps))
-    jax.block_until_ready(step_keys)
-    t0 = time.time()
-    for i in range(n_steps):
-        state, metrics = step(state, real, step_keys[i])
-    jax.block_until_ready(state.params_G)
-    dt = time.time() - t0
+    # The production train loop runs K steps per device dispatch
+    # (train_step.make_train_superstep: lax.scan over the fused step with
+    # the real crops sampled in-jit from the on-device source texture) —
+    # bench the same path. BENCH_MODE=step measures the per-step-dispatch
+    # path instead (the round-1/2 methodology; ~5 ms/step dispatch latency
+    # through the axon tunnel sits on top of the device step there).
+    per_step_mode = os.environ.get("BENCH_MODE") == "step"
+    img = jax.device_put(
+        np.random.default_rng(3).integers(0, 256, (440, 614, 3), dtype=np.uint8)
+    )
+    if per_step_mode:
+        step = make_train_step(G, D, tx_G, tx_D, **step_kw)
+        real = jax.device_put(
+            np.random.default_rng(0).standard_normal(
+                (args.batch_size, args.random_crop, args.random_crop, 3),
+                dtype=np.float32,
+            ).clip(-1, 1)
+        )
+        # warmup / compile
+        state, _ = step(state, real, jax.random.key(1))
+        jax.block_until_ready(state.params_G)
+        setup_s = time.time() - t_setup
+        # pre-split keys ON DEVICE and materialize the list BEFORE the
+        # timer: both a fresh jax.random.key(i) and a first key-array index
+        # inside the loop would remote-compile/transfer through the axon
+        # tunnel and poison the measurement
+        step_keys = list(jax.random.split(jax.random.key(2), n_steps))
+        jax.block_until_ready(step_keys)
+        t0 = time.time()
+        for i in range(n_steps):
+            state, metrics = step(state, real, step_keys[i])
+        jax.block_until_ready(state.params_G)
+        dt = time.time() - t0
+    else:
+        superstep = make_train_superstep(
+            G, D, tx_G, tx_D, crop=args.random_crop,
+            batch_size=args.batch_size, **step_kw,
+        )
+        crop_keys = jax.random.split(jax.random.key(1), 2 * n_steps)
+        step_keys = jax.random.split(jax.random.key(2), 2 * n_steps)
+        # warmup / compile: one full-length dispatch
+        state, _ = superstep(state, img, crop_keys[:n_steps], step_keys[:n_steps])
+        jax.block_until_ready(state.params_G)
+        setup_s = time.time() - t_setup
+        t0 = time.time()
+        state, metrics = superstep(
+            state, img, crop_keys[n_steps:], step_keys[n_steps:]
+        )
+        jax.block_until_ready(state.params_G)
+        dt = time.time() - t0
     steps_per_sec = n_steps / dt
     # patches through G per train step: num_images * 3x3 (train fake grid)
     patches_per_sec = steps_per_sec * args.num_images * 9

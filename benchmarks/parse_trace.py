@@ -33,6 +33,11 @@ CATEGORIES = [
     ("pallas upsample", "_up2_chw"),
     ("pallas stem", "_stem_"),
     ("layout copies", "%copy"),
+    # CAUTION: name-based. XLA sometimes names a conv-rooted kOutput fusion
+    # "convert_reduce_fusion" (the D's conv3 on the real batch lands here —
+    # verified against the compiled HLO: conv_general_dilated with a
+    # convolution backend_config at ~100% MFU). Treat the "XLA reduce"
+    # bucket as an upper bound; check the top-op table before acting on it.
     ("XLA reduce", "reduce"),
     ("dynamic-update-slice", "dynamic-update-slice"),
     ("XLA convolution", "convolution"),

@@ -122,7 +122,14 @@ def prepare_parser() -> argparse.ArgumentParser:
                         help="channels-major Pallas path for small-channel generator "
                              "layers: auto (TPU only, where shapes allow), on, off")
     parser.add_argument('--profile_dir', type=str, default=None,
-                        help='if set, write a jax profiler trace of a few steps here')
+                        help='if set, write a jax profiler trace of a few steps here '
+                             '(forces --steps_per_dispatch 1 so the trace stays small)')
+    parser.add_argument('--steps_per_dispatch', type=int, default=0,
+                        help='single-image runs: train steps fused into one device '
+                             'dispatch (lax.scan over the step, crops sampled in-jit). '
+                             '0 = auto (largest divisor of steps-per-epoch <= 128); '
+                             '1 disables. Identical numerics to per-step dispatch; '
+                             'amortizes dispatch latency (docs/PERF.md)')
     parser.add_argument('--resume', type=str, default=None,
                         help='path to a framework checkpoint to resume training from '
                              '(params, optimizer states, EMA, epoch, loss history)')

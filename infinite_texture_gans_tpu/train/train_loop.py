@@ -38,7 +38,9 @@ from infinite_texture_gans_tpu.train.checkpoint import (
 )
 from infinite_texture_gans_tpu.train.train_step import (
     create_train_state,
+    dispatch_chunk,
     make_train_step,
+    make_train_superstep,
 )
 
 
@@ -147,11 +149,7 @@ def train(args) -> None:
         # --dev_num selected a non-default device: pin state + data there
         state = jax.device_put(state, device)
 
-    train_step = make_train_step(
-        netG,
-        netD,
-        tx_G,
-        tx_D,
+    step_kw = dict(
         loss_type=args.loss,
         smooth=args.smooth,
         disc_iters=args.disc_iters,
@@ -161,6 +159,7 @@ def train(args) -> None:
         gp_weight=getattr(args, "gp_weight", 10.0),
         mesh=mesh,
     )
+    train_step = make_train_step(netG, netD, tx_G, tx_D, **step_kw)
 
     filename = prepare_filename(args)
     start_time = time.time()
@@ -190,46 +189,85 @@ def train(args) -> None:
         else None
     )
 
+    # K steps per device dispatch on the on-device-sampled path: the epoch
+    # becomes a handful of lax.scan dispatches (crops sampled in-jit) instead
+    # of 2 jit calls per step. Same key derivation and algorithm (equal to
+    # the per-step path up to reduction-order float noise,
+    # tests/test_train.py::test_superstep_matches_per_step); worth ~20% wall
+    # on a high-latency dispatch link (docs/PERF.md round 3).
+    spd = getattr(args, "steps_per_dispatch", 0) or 0
+    if args.profile_dir:
+        spd = 1  # keep the profiler trace to a few steps
+    k_dispatch = (
+        dispatch_chunk(steps_per_epoch, 128 if spd == 0 else spd)
+        if device_sampler is not None
+        else 1
+    )
+    superstep = None
+    if k_dispatch > 1:
+        superstep = make_train_superstep(
+            netG,
+            netD,
+            tx_G,
+            tx_D,
+            crop=(device_sampler.random_crop or None),
+            batch_size=args.batch_size,
+            **step_kw,
+        )
+        print(f"steps per dispatch: {k_dispatch}")
+
     profiled = False
     print("Starting Training Loop...")
     for epoch in range(start_epoch, args.epochs):
         key, data_key, epoch_key = jax.random.split(key, 3)
-        if device_sampler is not None:
-            crop_keys = jax.random.split(data_key, steps_per_epoch)
-            prefetcher = (
-                device_sampler.sample(crop_keys[i], args.batch_size)
-                for i in range(steps_per_epoch)
-            )
-        else:
-            prefetcher = Prefetcher(
-                dataset,
-                args.batch_size,
-                steps_per_epoch,
-                seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
-                device_put=(lambda x: shard_batch(x, mesh)),
-            )
+        step_keys = jax.random.split(epoch_key, steps_per_epoch)
         # Metrics stay on device during the epoch (a float() per step would
         # force a host sync and serialize dispatch); one block at epoch end.
         epoch_metrics = []
         batch_sizes = []
-        step_keys = jax.random.split(epoch_key, steps_per_epoch)
-        if args.profile_dir and not profiled and epoch == 0:
-            jax.profiler.start_trace(args.profile_dir)
-        for i, real_x in enumerate(prefetcher):
-            state, metrics = train_step(state, real_x, step_keys[i])
-            epoch_metrics.append(metrics)
-            batch_sizes.append(real_x.shape[0])
-            if args.profile_dir and not profiled and epoch == 0 and i == 4:
-                jax.block_until_ready(state.params_G)
-                jax.profiler.stop_trace()
-                profiled = True
+        if superstep is not None:
+            crop_keys = jax.random.split(data_key, steps_per_epoch)
+            for ci in range(steps_per_epoch // k_dispatch):
+                sl = slice(ci * k_dispatch, (ci + 1) * k_dispatch)
+                state, metrics = superstep(
+                    state, device_sampler.img, crop_keys[sl], step_keys[sl]
+                )
+                epoch_metrics.append(metrics)  # dict of (K,) arrays
+            batch_sizes = [args.batch_size] * steps_per_epoch
+        else:
+            if device_sampler is not None:
+                crop_keys = jax.random.split(data_key, steps_per_epoch)
+                prefetcher = (
+                    device_sampler.sample(crop_keys[i], args.batch_size)
+                    for i in range(steps_per_epoch)
+                )
+            else:
+                prefetcher = Prefetcher(
+                    dataset,
+                    args.batch_size,
+                    steps_per_epoch,
+                    seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
+                    device_put=(lambda x: shard_batch(x, mesh)),
+                )
+            if args.profile_dir and not profiled and epoch == 0:
+                jax.profiler.start_trace(args.profile_dir)
+            for i, real_x in enumerate(prefetcher):
+                state, metrics = train_step(state, real_x, step_keys[i])
+                epoch_metrics.append(metrics)
+                batch_sizes.append(real_x.shape[0])
+                if args.profile_dir and not profiled and epoch == 0 and i == 4:
+                    jax.block_until_ready(state.params_G)
+                    jax.profiler.stop_trace()
+                    profiled = True
 
-        # Stack the per-step scalars on device and fetch once per leaf:
+        # Gather the per-step scalars on device and fetch once per leaf:
         # device_get on the raw list moves ~3*steps_per_epoch tiny arrays,
         # and on a high-latency link (the axon tunnel) each transfer pays a
-        # round trip — measured ~0.5 s/epoch at 125 steps.
+        # round trip — measured ~0.5 s/epoch at 125 steps. Superstep chunks
+        # arrive pre-stacked as (K,) arrays; per-step metrics as scalars.
+        combine = jnp.concatenate if superstep is not None else jnp.stack
         stacked = jax.device_get(
-            jax.tree.map(lambda *xs: jnp.stack(xs), *epoch_metrics)
+            jax.tree.map(lambda *xs: combine(xs), *epoch_metrics)
         )
         d_run = g_run = 0.0
         for i, b_size in enumerate(batch_sizes):

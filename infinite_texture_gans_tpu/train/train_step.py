@@ -127,7 +127,7 @@ def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainStat
     return state, tx_G, tx_D
 
 
-def make_train_step(
+def _make_step_impl(
     G,
     D,
     tx_G,
@@ -142,7 +142,11 @@ def make_train_step(
     gp_weight: float = 10.0,
     mesh=None,
 ) -> Callable:
-    """Build the jitted train step: (state, real_x, key) -> (state, metrics).
+    """The UN-jitted step body: (state, real_x, key) -> (state, metrics).
+
+    ``make_train_step`` jits it directly (one step per dispatch);
+    ``make_train_superstep`` scans it (K steps per dispatch, crops sampled
+    in-jit) so high-latency dispatch links amortize.
 
     ``loss_type='wgan'`` trains WGAN-GP: the critic loss gains
     ``gp_weight * gradient_penalty`` on real/fake interpolates
@@ -234,7 +238,6 @@ def make_train_step(
             return logit, dict(new_aux)
         return out, aux_D
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, real_x: jnp.ndarray, key: jax.Array):
         params_D, aux_D, opt_D = state.params_D, state.aux_D, state.opt_D
         aux_G = state.aux_G
@@ -331,3 +334,99 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(G, D, tx_G, tx_D, **kw) -> Callable:
+    """Build the jitted per-call train step: (state, real_x, key) ->
+    (state, metrics). See :func:`_make_step_impl` for the semantics and
+    keyword arguments."""
+    impl = _make_step_impl(G, D, tx_G, tx_D, **kw)
+    return jax.jit(impl, donate_argnums=(0,))
+
+
+def make_train_superstep(
+    G,
+    D,
+    tx_G,
+    tx_D,
+    *,
+    crop: Optional[int],
+    batch_size: int,
+    mesh=None,
+    **kw,
+) -> Callable:
+    """K train steps in ONE device dispatch.
+
+    Returns ``superstep(state, img_u8, crop_keys, step_keys) -> (state,
+    metrics)`` where ``img_u8`` is the (H, W, C) uint8 source texture already
+    on device (``data.datasets.DeviceCropSampler.img``), ``crop_keys`` /
+    ``step_keys`` are length-K key arrays, and ``metrics`` holds (K,)-stacked
+    per-step scalars. The body is ``lax.scan`` over the exact fused step of
+    :func:`_make_step_impl`, with the real batch sampled IN-JIT per step —
+    identical key usage to ``DeviceCropSampler.sample`` (same
+    split/randint/dynamic_slice/normalize sequence), so a superstep epoch
+    samples the same crops/latents and runs the same algorithm as the
+    per-step epoch; results agree to reduction-order float noise
+    (tests/test_train.py::test_superstep_matches_per_step).
+
+    Why: each jitted call costs one host->device dispatch round trip. On a
+    directly-attached host that is ~10s of us; through a tunneled backend it
+    measured ~5 ms/step — ~20% of the whole Exp-1 step (docs/PERF.md). One
+    dispatch per K steps makes the wall rate converge to the traced device
+    rate. The reference pays a DataLoader fetch + H2D per step
+    (reference train.py:113); this path ships the source image once.
+
+    ``crop=None`` (center-crop datasets) broadcasts the pre-cropped image
+    (reference datasets_classes.py:31-38). Under a ``mesh`` the sampled
+    batch is pinned to the data axis, matching ``DeviceCropSampler``'s
+    sharded output.
+    """
+    impl = _make_step_impl(G, D, tx_G, tx_D, mesh=mesh, **kw)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        batch_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def superstep(state: TrainState, img: jnp.ndarray, crop_keys, step_keys):
+        def sample_real(ck):
+            if crop:
+                h, w, c = img.shape
+                kh, kw_ = jax.random.split(ck)
+                tops = jax.random.randint(kh, (batch_size,), 0, h - crop + 1)
+                lefts = jax.random.randint(kw_, (batch_size,), 0, w - crop + 1)
+
+                def get(t, l):
+                    return jax.lax.dynamic_slice(img, (t, l, 0), (crop, crop, c))
+
+                real = jax.vmap(get)(tops, lefts)
+                real = real.astype(jnp.float32) / 127.5 - 1.0
+            else:
+                x = img.astype(jnp.float32) / 127.5 - 1.0
+                real = jnp.broadcast_to(x, (batch_size,) + x.shape)
+            if mesh is not None:
+                real = jax.lax.with_sharding_constraint(real, batch_sharding)
+            return real
+
+        def body(st, ks):
+            ck, sk = ks
+            st, metrics = impl(st, sample_real(ck), sk)
+            return st, metrics
+
+        return jax.lax.scan(body, state, (crop_keys, step_keys))
+
+    return superstep
+
+
+def dispatch_chunk(steps_per_epoch: int, cap: int = 128) -> int:
+    """Largest divisor of ``steps_per_epoch`` that is <= ``cap``: the
+    superstep scan length K. A divisor keeps the epoch to ONE compiled
+    shape (a remainder chunk would compile a second program — minutes on a
+    remote-compile backend). cap<=1 disables the superstep path."""
+    if cap <= 1 or steps_per_epoch <= 1:
+        return 1
+    best = 1
+    for k in range(1, min(steps_per_epoch, cap) + 1):
+        if steps_per_epoch % k == 0:
+            best = k
+    return best

@@ -350,6 +350,79 @@ def test_full_train_loop_smoke(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_superstep_matches_per_step(tmp_path):
+    """K-steps-per-dispatch superstep (lax.scan over the fused step, crops
+    sampled in-jit) must reproduce the per-step dispatch path: the key
+    derivation (crop_keys[i] -> split -> randint, step_keys[i]) is identical
+    by construction, so both paths sample the same crops/latents and run the
+    same algorithm. Losses agree to float noise; params agree to a small
+    ABSOLUTE tolerance (the scan body compiles to different fusions than the
+    standalone jit, so reduction order differs — near-zero-gradient leaves
+    show relative noise from Adam's g/(sqrt(g^2)+eps) on epsilon-scale
+    gradients)."""
+    from infinite_texture_gans_tpu.data.datasets import DeviceCropSampler
+    from infinite_texture_gans_tpu.train.train_step import (
+        dispatch_chunk,
+        make_train_superstep,
+    )
+
+    assert dispatch_chunk(125, 128) == 125
+    assert dispatch_chunk(125, 32) == 25
+    assert dispatch_chunk(127, 64) == 1  # prime > cap: no divisor, per-step
+    assert dispatch_chunk(10, 1) == 1
+
+    tex = write_texture(str(tmp_path / "tex.png"), 56, 48)
+    args = tiny_args()
+    ds = SingleImageDataset(tex, ext="png", random_crop=args.random_crop, sampling=8)
+    sampler = DeviceCropSampler(ds)
+    G, D = build(args)
+    kw = dict(
+        loss_type="standard", smooth=True, disc_iters=1,
+        num_images=args.num_images, ema_decay=0.999, use_ema=True,
+    )
+
+    n_steps, k = 4, 2
+    crop_keys = jax.random.split(jax.random.key(5), n_steps)
+    step_keys = jax.random.split(jax.random.key(7), n_steps)
+
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(1), 4)
+    step = make_train_step(G, D, tx_G, tx_D, **kw)
+    per_step_metrics = []
+    for i in range(n_steps):
+        real = sampler.sample(crop_keys[i], args.batch_size)
+        state, m = step(state, real, step_keys[i])
+        per_step_metrics.append(m)
+
+    state2, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(1), 4)
+    superstep = make_train_superstep(
+        G, D, tx_G, tx_D, crop=args.random_crop, batch_size=args.batch_size, **kw
+    )
+    super_metrics = []
+    for ci in range(n_steps // k):
+        sl = slice(ci * k, (ci + 1) * k)
+        state2, m = superstep(state2, sampler.img, crop_keys[sl], step_keys[sl])
+        super_metrics.append(m)
+
+    for name in ("d_loss_real", "d_loss_fake", "g_loss"):
+        got = np.concatenate([np.atleast_1d(np.asarray(m[name])) for m in super_metrics])
+        want = np.asarray([float(m[name]) for m in per_step_metrics])
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        state.params_G,
+        state2.params_G,
+    )
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        state.ema,
+        state2.ema,
+    )
+
+
 def test_chw_image_wire_matches_nhwc():
     """The channels-major G->D image wire (G out_chw + the D's Pallas CHW
     stem, used on TPU to keep the C=3 fake image out of NHWC layouts) must
