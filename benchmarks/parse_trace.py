@@ -29,6 +29,13 @@ CATEGORIES = [
     ("pallas conv3x3 fwd", "_conv3x3_chw_fwd"),
     ("pallas conv3x3 dx", "_conv3x3_chw_dx"),
     ("pallas conv3x3 dw", "_conv3x3_chw_dw"),
+    ("pallas upconv fwd", "_upconv3x3_fwd"),
+    ("pallas upconv dx", "_upconv3x3_dx"),
+    ("pallas upconv dw", "_upconv3x3_dw"),
+    ("pallas upconv fwd", "_upconv_kernel"),
+    ("pallas upconv dx", "_updx_kernel"),
+    ("pallas upconv dw", "_updw_kernel"),
+    ("pallas up-add", "_up2_add"),
     ("pallas conv1x1", "_conv1x1_chw"),
     ("pallas upsample", "_up2_chw"),
     ("pallas stem", "_stem_"),

@@ -121,6 +121,10 @@ def prepare_parser() -> argparse.ArgumentParser:
     parser.add_argument('--chw_tail', type=str, default='auto',
                         help="channels-major Pallas path for small-channel generator "
                              "layers: auto (TPU only, where shapes allow), on, off")
+    parser.add_argument('--fuse_up', type=str, default='auto',
+                        choices=['auto', 'off'],
+                        help='subpixel-fused upsample+conv in the chw-tail ResBlocks '
+                             '(training path, BN mode; ops/pallas_conv.py upconv)')
     parser.add_argument('--profile_dir', type=str, default=None,
                         help='if set, write a jax profiler trace of a few steps here '
                              '(forces --steps_per_dispatch 1 so the trace stays small)')
@@ -214,6 +218,7 @@ def generator_kwargs(args: argparse.Namespace) -> Dict[str, Any]:
         conv_reduction=args.conv_reduction,
         dtype=jnp.bfloat16 if getattr(args, 'compute_dtype', 'float32') == 'bfloat16' else jnp.float32,
         chw_tail=getattr(args, 'chw_tail', 'auto'),
+        fuse_up=getattr(args, 'fuse_up', 'auto'),
     )
 
 

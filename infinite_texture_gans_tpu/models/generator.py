@@ -117,6 +117,12 @@ class ResidualPatchGenerator(nn.Module):
     # 'off'. See ops/pallas_conv.py for why small-channel layers are run
     # channels-major.
     chw_tail: str = "auto"
+    # 'auto' | 'off': subpixel-fused upsample+conv1 inside the chw-tail
+    # ResBlocks (ops/pallas_conv.py: upconv3x3_chw_p) — TRAINING path only
+    # (BN mode, halo-free); the fused 2x2 combined kernels regroup float
+    # additions, so eval/one-pass/halo engines keep the unfused kernels and
+    # their bit-exact oracle relationships (tests/test_halo.py).
+    fuse_up: str = "auto"
 
     def _chw_gate(self, i: int, cin: int) -> bool:
         """THE layout-decision predicate: block ``i`` (input channels
@@ -221,7 +227,19 @@ class ResidualPatchGenerator(nn.Module):
                     h = _pad_w_lanes(
                         h, "zeros" if self.outer_padding == "constant" else "edge"
                     )
-            if i > 1:
+            # Subpixel fusion: the block's upsample -> BN -> ReLU -> conv1
+            # collapses into ONE half-resolution Pallas kernel (see fuse_up
+            # attr); the shortcut's conv1x1 commutes with nearest-2x and its
+            # upsample fuses with the residual add. Training only.
+            fuse = (
+                is_chw
+                and i > 1
+                and self.type_norm == "BN"
+                and want_stats
+                and w_true is not None
+                and self.fuse_up != "off"
+            )
+            if i > 1 and not fuse:
                 if is_chw and w_true is not None:
                     from infinite_texture_gans_tpu.ops.pallas_conv import upsample2_chw_p
 
@@ -250,7 +268,10 @@ class ResidualPatchGenerator(nn.Module):
                 train=train, update_sn=update_sn, chw=is_chw,
                 in_stats=cur_stats if is_chw else None,
                 pad_w_true=w_true,
+                fuse_up=fuse,
             )
+            if fuse:
+                w_true *= 2  # the block upsampled internally
             cur_stats = out_stats if is_chw else None
             if halo is not None:
                 halo_out[f"{bname}.conv1"] = h1

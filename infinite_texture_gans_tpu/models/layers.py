@@ -28,9 +28,12 @@ from infinite_texture_gans_tpu.ops.pallas_conv import (
     conv1x1_chw_add,
     conv1x1_chw_add_p,
     conv1x1_chw_add_stats,
+    conv1x1_chw_p,
     conv3x3_chw,
     conv3x3_chw_p,
     conv3x3_chw_stats,
+    upconv3x3_chw_p,
+    upsample2_chw_add_p,
 )
 
 
@@ -197,6 +200,7 @@ class ConvLP(nn.Module):
         chw_fold=None,
         want_stats: bool = False,
         pad_w_true: Optional[int] = None,
+        fuse_up_w_true: Optional[int] = None,
     ):
         if chw_fold is not None:
             # Channels-major fused path: x is (N, C, H, W); the preceding
@@ -204,6 +208,18 @@ class ConvLP(nn.Module):
             # ops/pallas_conv.py). Same 'conv' submodule name -> same tree.
             scale, shift, relu = chw_fold
             kernel, bias = RawConvParams(self.features, 3, name="conv")(x.shape[1])
+            if fuse_up_w_true is not None:
+                # subpixel-fused upsample+conv (training path; x at HALF
+                # resolution, fuse_up_w_true = its true width)
+                out = upconv3x3_chw_p(
+                    x, kernel, bias, scale, shift, relu, self.outer_padding,
+                    fuse_up_w_true, want_stats,
+                )
+                if want_stats:
+                    y, s1, s2 = out
+                    cnt = y.shape[0] * y.shape[2] * (2 * fuse_up_w_true)
+                    return y, halo, (s1, s2, cnt)
+                return out, halo
             if halo is not None:
                 # stateful raster step: halo cache supplies top/left, the
                 # Pallas halo kernel does the padded conv (inference only)
@@ -472,6 +488,7 @@ class ResBlockGenerator(nn.Module):
         chw: bool = False,
         in_stats=None,
         pad_w_true: Optional[int] = None,
+        fuse_up: bool = False,
     ):
         act = activation_fn(self.leak)
         learnable_sc = self.in_features != self.features
@@ -525,6 +542,45 @@ class ResBlockGenerator(nn.Module):
                     a2, halo2, pos, chw_fold=(onesf, zerosf, False),
                     pad_w_true=pad_w_true,
                 )
+            elif fuse_up:
+                # Subpixel-fused path (training, BN): x arrives at HALF
+                # resolution (pad_w_true = half true width). up2 -> bn1 ->
+                # relu -> conv1 run as ONE half-res kernel (nearest-2x
+                # commutes with the per-channel affine and ReLU;
+                # ops/pallas_conv.py: upconv3x3_chw_p); the shortcut's
+                # conv1x1 also commutes with up2 and runs at half res, its
+                # upsample fusing with the residual add + output stats
+                # (upsample2_chw_add_p). Same variable tree as the unfused
+                # branch.
+                assert want and pad_w_true is not None and halo1 is None
+                sc1, sh1 = BNFold(name="bn1")(
+                    x, train=train, stats=in_stats, w_true=pad_w_true
+                )
+                out, halo1, st1 = ConvLP(
+                    self.features, name="conv1", **convlp_kw
+                )(
+                    x, halo1, pos, chw_fold=(sc1, sh1, True), want_stats=True,
+                    pad_w_true=pad_w_true, fuse_up_w_true=pad_w_true,
+                )
+                full_w = 2 * pad_w_true
+                sc2, sh2 = BNFold(name="bn2")(
+                    out, train=train, stats=st1, w_true=full_w
+                )
+                out, halo2 = ConvLP(self.features, name="conv2", **convlp_kw)(
+                    out, halo2, pos, chw_fold=(sc2, sh2, True),
+                    pad_w_true=full_w,
+                )
+                if learnable_sc:
+                    k3, b3 = RawConvParams(self.features, 1, name="conv3")(c_in)
+                    s_half = conv1x1_chw_p(x, k3, b3, pad_w_true)
+                else:
+                    s_half = x
+                fill = "zeros" if self.outer_padding == "constant" else "edge"
+                y, s1, s2 = upsample2_chw_add_p(
+                    s_half, out, pad_w_true, fill, True
+                )
+                cnt = y.shape[0] * y.shape[2] * full_w
+                return y, halo1, halo2, (s1, s2, cnt)
             else:
                 sc1, sh1 = BNFold(name="bn1")(
                     x, train=train, stats=in_stats, w_true=pad_w_true

@@ -1217,6 +1217,762 @@ upsample2_chw_p.defvjp(_up2_p_fwd_rule, _up2_p_bwd_rule)
 
 
 # --------------------------------------------------------------------------
+# Fused nearest-2x upsample + norm/act + 3x3 conv ("up-conv", the subpixel
+# transform). Every generator residual block starts with upsample -> BN ->
+# ReLU -> conv3x3 (reference models/generators.py:95-111 +
+# models/layers.py:301-311). Because nearest-2x commutes with the
+# per-channel BN affine and with ReLU, the whole prefix runs at HALF
+# resolution and the conv becomes FOUR phase convs with 2x2 COMBINED
+# kernels:
+#
+#   y[2i+di, 2j+dj] = sum_{r,c in {0,1}} W2[(di,dj)][r,c] . x[i-1+di+r, j-1+dj+c]
+#   W2[(0,*)][0]=K[0], W2[(0,*)][1]=K[1]+K[2];  W2[(1,*)][0]=K[0]+K[1],
+#   W2[(1,*)][1]=K[2]   (same recombination on the column axis)
+#
+# vs. the unfused pair this is 4x fewer MXU cycles (the partial matmul's N
+# is the HALF-res pixel count and its M packs all 4 phases: K=3C, M=8Co —
+# 78x104 = 49% array utilization at the b6 shapes vs 18.6%) and ~6x less
+# VPU stack traffic. The historical blocker — Mosaic has no interleaved
+# stores — dissolves: column interleave rides the same E-scatter matmuls
+# the upsample kernel already uses, and row interleave is the supported
+# pair-reshape (`_rowint` pattern).
+#
+# The fused math regroups additions ((K1+K2)*x vs K1*x+K2*x), so it is NOT
+# bit-identical to the unfused pair. It is therefore used in TRAINING only
+# (generator.py gates on train + halo-free); the halo-cache raster engine
+# and the one-pass eval oracle keep the unfused kernels so their bit-exact
+# equality tests remain the correctness anchor (tests/test_halo.py).
+
+
+def _upconv_selectors():
+    """Row/column tap-recombination selectors.
+
+    RS[di, q, dy] = 1 iff x slab row offset q (x row i-1+q) receives tap
+    K[dy] for output row phase di; CS[dj, s, dx] likewise for the column
+    partial slot s of column phase dj (s=0 pairs x[j-1] for dj=0 / x[j] for
+    dj=1; s=1 pairs x[j] / x[j+1])."""
+    import numpy as np
+
+    rs = np.zeros((2, 3, 3), np.float32)
+    rs[0, 0, 0] = 1          # di=0: x[i-1] <- K[0]
+    rs[0, 1, 1] = rs[0, 1, 2] = 1  # di=0: x[i] <- K[1]+K[2]
+    rs[1, 1, 0] = rs[1, 1, 1] = 1  # di=1: x[i] <- K[0]+K[1]
+    rs[1, 2, 2] = 1          # di=1: x[i+1] <- K[2]
+    cs = np.zeros((2, 2, 3), np.float32)
+    cs[0, 0, 0] = 1          # dj=0, s=0: x[j-1] <- K[.,0]
+    cs[0, 1, 1] = cs[0, 1, 2] = 1  # dj=0, s=1: x[j] <- K[.,1]+K[.,2]
+    cs[1, 0, 0] = cs[1, 0, 1] = 1  # dj=1, s=0: x[j] <- K[.,0]+K[.,1]
+    cs[1, 1, 2] = 1          # dj=1, s=1: x[j+1] <- K[.,2]
+    return jnp.asarray(rs), jnp.asarray(cs)
+
+
+def _pack_w_upconv(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,Co) -> (8Co, 3C) combined-phase forward weights: row
+    m = ((di*2+dj)*2+s)*Co + co, column q*C + ci."""
+    c, co = w.shape[2], w.shape[3]
+    rs, cs = _upconv_selectors()
+    t = jnp.einsum("aqd,bse,dexy->absyqx", rs, cs, w.astype(jnp.float32))
+    return t.reshape(8 * co, 3 * c)
+
+
+def _unpack_dw_upconv(acc: jnp.ndarray, c: int, co: int) -> jnp.ndarray:
+    """Transpose of :func:`_pack_w_upconv`: (8Co, 3C) phase-tap gradients
+    -> (3,3,C,Co)."""
+    rs, cs = _upconv_selectors()
+    t = acc.reshape(2, 2, 2, co, 3, c)  # (di, dj, s, co, q, ci)
+    return jnp.einsum("aqd,bse,absyqx->dexy", rs, cs, t)
+
+
+def _pack_wt_upconv_dx(w: jnp.ndarray) -> jnp.ndarray:
+    """dx main-matmul weights (3C, 8Co): row o_c*C + ci (o_c = the column
+    partial slot: 0 pairs shiftR, 1 direct, 2 pairs shiftL), column
+    m2 = ((di*2+dj)*2 + qh)*Co + co where the g slab (di, qh) holds
+    g rows 2i+di + 2*qh - (di==1 ? 2 : 0)  (see `_updx_kernel`)."""
+    import numpy as np
+
+    c, co = w.shape[2], w.shape[3]
+    # row selector: slab (di, qh) -> dy taps
+    rsb = np.zeros((2, 2, 3), np.float32)
+    rsb[0, 0, 1] = rsb[0, 0, 2] = 1  # g[2i]   <- Ky[1]+Ky[2]
+    rsb[0, 1, 0] = 1                  # g[2i+2] <- Ky[0]
+    rsb[1, 0, 2] = 1                  # g[2i-1] <- Ky[2]
+    rsb[1, 1, 0] = rsb[1, 1, 1] = 1  # g[2i+1] <- Ky[0]+Ky[1]
+    # column selector: (dj, o_c) -> dx taps
+    csb = np.zeros((2, 3, 3), np.float32)
+    csb[0, 2, 0] = 1                  # da[j] += Kx[0]        * g0[j+1]
+    csb[0, 1, 1] = csb[0, 1, 2] = 1  # da[j] += (Kx[1]+Kx[2]) * g0[j]
+    csb[1, 1, 0] = csb[1, 1, 1] = 1  # da[j] += (Kx[0]+Kx[1]) * g1[j]
+    csb[1, 0, 2] = 1                  # da[j] += Kx[2]        * g1[j-1]
+    t = jnp.einsum(
+        "aqd,boe,dexy->oxabqy", jnp.asarray(rsb), jnp.asarray(csb),
+        w.astype(jnp.float32),
+    )
+    return t.reshape(3 * c, 8 * co)
+
+
+def _pack_wt_upconv_fold(w: jnp.ndarray, dy: int) -> jnp.ndarray:
+    """Row-fold weights (3C, 2Co) for the canvas top (dy=0) / bottom (dy=2)
+    replicate folds of the up-conv dx: the K[dy] row part against g's first
+    (last) full-res row in both column phases. Column index dj*Co + co."""
+    import numpy as np
+
+    c, co = w.shape[2], w.shape[3]
+    csb = np.zeros((2, 3, 3), np.float32)
+    csb[0, 2, 0] = 1
+    csb[0, 1, 1] = csb[0, 1, 2] = 1
+    csb[1, 1, 0] = csb[1, 1, 1] = 1
+    csb[1, 0, 2] = 1
+    t = jnp.einsum(
+        "boe,exy->oxby", jnp.asarray(csb), w[dy].astype(jnp.float32)
+    )
+    return t.reshape(3 * c, 2 * co)
+
+
+def _up_scatter_matrices(w_hp: int, w_true_h: int, w_f: int, fill: str, dtype):
+    """E_dj (w_hp, w_f): place half-res column j at full-res column 2j+dj.
+    E1 additionally carries the target pad fill (edge: copy full-res edge
+    column 2*w_true_h-1, which is phase dj=1 of half col w_true_h-1)."""
+    rows = jnp.arange(w_hp)[:, None]
+    cols = jnp.arange(w_f)[None, :]
+    es = []
+    for dj in (0, 1):
+        m = (rows < w_true_h) & (cols == 2 * rows + dj)
+        if dj == 1 and fill == "edge":
+            m = m | ((rows == w_true_h - 1) & (cols >= 2 * w_true_h))
+        es.append(m.astype(dtype))
+    return es
+
+
+def _up_collect_matrices(w_f: int, w_true_h: int, w_hp: int, dtype):
+    """C_dj (w_f, w_hp): gather full-res column phase dj back to half-res
+    (the transpose of the no-fill scatter; pad-column cotangents are zero
+    by the gradient contract, so no fill terms are needed)."""
+    rows = jnp.arange(w_f)[:, None]
+    cols = jnp.arange(w_hp)[None, :]
+    cs = []
+    for dj in (0, 1):
+        m = (cols < w_true_h) & (rows == 2 * cols + dj)
+        cs.append(m.astype(dtype))
+    return cs
+
+
+def _upconv_kernel(relu: bool, zeros_mode: bool, bh: int, w_true_h: int,
+                   co: int, want_stats: bool, chunked: bool):
+    """Forward. Grid (N, H_h/BH). Block outputs (1, Co, 2BH, Wf)."""
+
+    def kernel(x_ref, top_ref, bot_ref, wp_ref, b_ref, sc_ref, sh_ref,
+               e0_ref, e1_ref, *rest):
+        rest = list(rest)
+        y_ref = rest.pop(0)
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        wh = x_ref.shape[3]
+        wf = e0_ref.shape[1]
+        slab = _norm_slab(
+            x_ref[0], _top_row(top_ref, t, chunked),
+            _bot_row(bot_ref, t, nt, chunked),
+            sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true_h,
+        )
+        s = _rows_stack(slab, bh)  # (3C, BH*Wh)
+        p = lax.dot_general(
+            wp_ref[:, :], s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8Co, BH*Wh)
+
+        def plane(di, dj):
+            base = ((di * 2 + dj) * 2) * co
+            p0 = p[base : base + co].reshape(co, bh, wh)
+            p1 = p[base + co : base + 2 * co].reshape(co, bh, wh)
+            if dj == 0:
+                fill = (jnp.zeros_like(p0[:, :, :1]) if zeros_mode
+                        else p0[:, :, :1])
+                return _shift_r(p0, fill) + p1
+            fill = (jnp.zeros_like(p1[:, :, -1:])
+                    if zeros_mode or w_true_h != wh else p1[:, :, -1:])
+            return p0 + _shift_l(p1, fill)
+
+        rows = []
+        for di in (0, 1):
+            r = lax.dot_general(
+                plane(di, 0).reshape(co * bh, wh), e0_ref[:, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + lax.dot_general(
+                plane(di, 1).reshape(co * bh, wh), e1_ref[:, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (Co*BH, Wf)
+            rows.append((r.reshape(co, bh * wf) + b_ref[:, :]).reshape(co, bh, wf))
+        # row interleave: (Co, BH, 2, Wf) pair concat + merge — the exact
+        # `_rowint` pattern (expand_dims via None-indexing on a 3-D value;
+        # a flat->(co,bh,1,wf) reshape lowers as an unsupported "sublane
+        # broadcast" on Mosaic)
+        y = jnp.concatenate(
+            [rows[0][:, :, None, :], rows[1][:, :, None, :]], axis=2
+        ).reshape(co, 2 * bh, wf)
+        yc = y.astype(y_ref.dtype)
+        y_ref[0, :, :, :] = yc
+        if want_stats:
+            _acc_stats(yc, co, 2 * bh, wf, 2 * w_true_h, rest[0], rest[1],
+                       jnp.logical_and(n == 0, t == 0))
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "w_true_h", "want_stats"))
+def _upconv3x3_fwd(x, wp, b, scale, shift, e0, e1, *, relu: bool,
+                   outer_padding: str, w_true_h: int, want_stats: bool):
+    """x (N, C, H, Whp) padded-carry -> y (N, Co, 2H, Wf) padded-carry."""
+    zeros_mode = outer_padding == "constant"
+    n, c, h, wh = x.shape
+    co = wp.shape[0] // 8
+    wf = e0.shape[1]
+    # working set ~ slab + 3C stack + 8Co f32 partials + planes + y rows
+    bh = _pick_bh(h, wh, 6 * c + 26 * co, x.dtype.itemsize)
+    chunked = h % 8 == 0
+    if chunked:
+        tops = bots = x
+        top_spec, bot_spec = _chunk_specs(c, bh, wh, h)
+    else:
+        tops, bots = _halo_rows(x, bh)
+        top_spec = bot_spec = _halo_spec(c, h // bh, wh)
+    kernel = _upconv_kernel(relu, zeros_mode, bh, w_true_h, co, want_stats,
+                            chunked)
+    out_specs = pl.BlockSpec(
+        (1, co, 2 * bh, wf), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n, co, 2 * h, wf), x.dtype)
+    if want_stats:
+        acc_spec = pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((co, 1), jnp.float32)
+        out_specs = (out_specs, acc_spec, acc_spec)
+        out_shape = (out_shape, acc_shape, acc_shape)
+    out = pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+            pl.BlockSpec((8 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, wf), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wh, wf), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x, tops, bots, wp, b, scale, shift, e0, e1)
+    if want_stats:
+        y, s1, s2 = out
+        return y, s1[:, 0], s2[:, 0]
+    return out
+
+
+def _split_row_phases(flat2d, co, rows, wh):
+    """(Co*rows_full, Wh) descattered gradient (rows_full = 2*rows) ->
+    (even, odd) planes (Co, rows*Wh) flat: reshape pairs to lanes, slice
+    the two aligned halves, flatten back. All supported Mosaic reshapes."""
+    v = flat2d.reshape(co, rows, 2 * wh)
+    even = v[:, :, 0:wh].reshape(co, rows * wh)
+    odd = v[:, :, wh : 2 * wh].reshape(co, rows * wh)
+    return even, odd
+
+
+def _updx_kernel(relu: bool, zeros_mode: bool, bh: int, w_true_h: int,
+                 c: int, co: int, g_chunked: bool):
+    """dx. Grid (N, H_h/BH). g block (1, Co, 2BH, Wf) + one halo row above
+    (full-res row 2r0-1) and below (row 2r0+2BH); x block (1, C, BH, Whp)
+    for the act mask / accumulators."""
+
+    def kernel(g_ref, gtop_ref, gbot_ref, x_ref, wt_ref, ftop_ref, fbot_ref,
+               c0_ref, c1_ref, sc_ref, sh_ref, dx_ref, dsc_ref, dsh_ref):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        wf = g_ref.shape[3]
+        wh = c0_ref.shape[1]
+        gb = g_ref[0]  # (Co, 2BH, Wf)
+        top = _top_row(gtop_ref, t, g_chunked)
+        bot = _bot_row(gbot_ref, t, nt, g_chunked)
+        top = jnp.where(t == 0, 0.0, top).astype(top.dtype)
+        bot = jnp.where(t == nt - 1, 0.0, bot).astype(bot.dtype)
+        gall = jnp.concatenate([top[:, None, :], gb, bot[:, None, :]], axis=1)
+        # column descatter to half-res, per column phase
+        gflat = gall.reshape(co * (2 * bh + 2), wf)
+        gd = []
+        for cref in (c0_ref, c1_ref):
+            d = lax.dot_general(
+                gflat, cref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(gb.dtype)  # (Co*(2BH+2), Wh) — exact: 0/1 selection
+            gd.append(d)
+        # row de-interleave: local pairs (2k, 2k+1) = full rows
+        # (2(r0+k)-1, 2(r0+k)) -> planeA[k] = g[2i-1], planeB[k] = g[2i]
+        planes = [_split_row_phases(gd[dj], co, bh + 1, wh) for dj in (0, 1)]
+
+        def g_slab(di, dj, qh):
+            a, bpl = planes[dj]
+            src = bpl if di == 0 else a  # di=0: g[2i(+2)], di=1: g[2i-1(+2)]
+            return src[:, qh * wh : qh * wh + bh * wh]
+
+        # order must match _pack_wt_upconv_dx: m2 = ((di*2+dj)*2+qh)*Co+co
+        sg = jnp.concatenate(
+            [g_slab(di, dj, qh)
+             for di in (0, 1) for dj in (0, 1) for qh in (0, 1)],
+            axis=0,
+        )  # (8Co, BH*Wh)
+        q = lax.dot_general(
+            wt_ref[:, :], sg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3C, BH*Wh)
+        q0 = q[0:c].reshape(c, bh, wh)
+        q1 = q[c : 2 * c].reshape(c, bh, wh)
+        q2 = q[2 * c :].reshape(c, bh, wh)
+        if zeros_mode:
+            fill_l = jnp.zeros_like(q0[:, :, :1])
+            fill_r = jnp.zeros_like(q2[:, :, -1:])
+        else:
+            fill_l = q2[:, :, :1]
+            fill_r = q0[:, :, -1:] if w_true_h == wh else jnp.zeros_like(
+                q2[:, :, -1:]
+            )
+        da = _shift_r(q0, fill_l) + q1 + _shift_l(q2, fill_r)
+        col = lax.broadcasted_iota(jnp.int32, (1, 1, wh), 2)
+        if not zeros_mode and w_true_h != wh:
+            da = da + jnp.where(col == w_true_h - 1, q0, 0.0)
+
+        if not zeros_mode:
+            # canvas row folds: da[0] += K[0]-part x g full row 0 (t==0);
+            # da[H-1] += K[2]-part x g full row 2H-1 (t==nt-1)
+            row = lax.broadcasted_iota(jnp.int32, (1, bh, 1), 1)
+            (a0, b0), (a1, b1) = planes
+
+            def row_fold(wf_ref, g0_dj0, g0_dj1):
+                gpair = jnp.concatenate([g0_dj0, g0_dj1], axis=0)  # (2Co, Wh)
+                tt = lax.dot_general(
+                    wf_ref[:, :], gpair, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (3C, Wh)
+                t0 = tt[0:c].reshape(c, 1, wh)
+                t1 = tt[c : 2 * c].reshape(c, 1, wh)
+                t2 = tt[2 * c :].reshape(c, 1, wh)
+                f_l = t2[:, :, :1]
+                f_r = t0[:, :, -1:] if w_true_h == wh else jnp.zeros_like(
+                    t2[:, :, -1:]
+                )
+                fr = _shift_r(t0, f_l) + t1 + _shift_l(t2, f_r)
+                if w_true_h != wh:
+                    fr = fr + jnp.where(col == w_true_h - 1, t0, 0.0)
+                return fr
+
+            # g full row 0 = planeB[0]; g full row 2H-1 = planeA[BH]
+            fold_top = row_fold(
+                ftop_ref,
+                b0[:, 0:wh], b1[:, 0:wh],
+            )
+            fold_bot = row_fold(
+                fbot_ref,
+                a0[:, bh * wh : (bh + 1) * wh], a1[:, bh * wh : (bh + 1) * wh],
+            )
+            da = (
+                da
+                + jnp.where(jnp.logical_and(row == 0, t == 0), fold_top, 0.0)
+                + jnp.where(
+                    jnp.logical_and(row == bh - 1, t == nt - 1), fold_bot, 0.0
+                )
+            )
+
+        if w_true_h != wh:
+            da = jnp.where(col >= w_true_h, 0.0, da)
+
+        xb = x_ref[0]
+        if relu:
+            pre = xb * sc_ref[:, :, :] + sh_ref[:, :, :]
+            da = da * (pre.astype(jnp.float32) > 0)
+        dx_ref[0, :, :, :] = (da * sc_ref[:, :, :]).astype(dx_ref.dtype)
+        dsc = jnp.sum((da * xb).reshape(c, bh * wh), axis=1, keepdims=True)
+        dsh = jnp.sum(da.reshape(c, bh * wh), axis=1, keepdims=True)
+
+        first = jnp.logical_and(n == 0, t == 0)
+
+        @pl.when(first)
+        def _():
+            dsc_ref[:, :] = dsc
+            dsh_ref[:, :] = dsh
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dsc_ref[:, :] = dsc_ref[:, :] + dsc
+            dsh_ref[:, :] = dsh_ref[:, :] + dsh
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "c", "w_true_h"))
+def _upconv3x3_dx(x, g, w, scale, shift, *, relu: bool, outer_padding: str,
+                  c: int, w_true_h: int):
+    zeros_mode = outer_padding == "constant"
+    n, co, h2, wf = g.shape
+    h = h2 // 2
+    wh = x.shape[3]
+    bh = _pick_bh(h, wh, 4 * c + 30 * co, x.dtype.itemsize)
+    g_chunked = h2 % 8 == 0 and (2 * bh) % 8 == 0
+    if g_chunked:
+        gtops = gbots = g
+        gtop_spec, gbot_spec = _chunk_specs(co, 2 * bh, wf, h2)
+    else:
+        gtops, gbots = _halo_rows(g, 2 * bh)
+        gtop_spec = gbot_spec = _halo_spec(co, h2 // (2 * bh), wf)
+    wt = _pack_wt_upconv_dx(w).astype(g.dtype)
+    ftop = _pack_wt_upconv_fold(w, 0).astype(g.dtype)
+    fbot = _pack_wt_upconv_fold(w, 2).astype(g.dtype)
+    c0, c1 = _up_collect_matrices(wf, w_true_h, wh, g.dtype)
+    kernel = _updx_kernel(relu, zeros_mode, bh, w_true_h, c, co, g_chunked)
+    dx, dsc, dsh = pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, co, 2 * bh, wf), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            gtop_spec,
+            gbot_spec,
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 8 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 2 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * c, 2 * co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wf, wh), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wf, wh), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, c, h, wh), x.dtype),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+            jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(g, gtops, gbots, x, wt, ftop, fbot, c0, c1, scale, shift)
+    return dx, dsc[:, 0], dsh[:, 0]
+
+
+def _updw_kernel(relu: bool, zeros_mode: bool, bh: int, w_true_h: int,
+                 c: int, co: int, chunked: bool):
+    """dW2' (8Co, 3C) += Gc @ Sx^T per block (same accumulation scheme as
+    `_dw_kernel`); db from the raw full-res gradient."""
+
+    def kernel(x_ref, top_ref, bot_ref, g_ref, c0_ref, c1_ref, sc_ref,
+               sh_ref, dw_ref, db_ref):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        wh = x_ref.shape[3]
+        wf = g_ref.shape[3]
+        slab = _norm_slab(
+            x_ref[0], _top_row(top_ref, t, chunked),
+            _bot_row(bot_ref, t, nt, chunked),
+            sc_ref, sh_ref, relu, zeros_mode, t, nt, bh, w_true_h,
+        )
+        sx = _rows_stack(slab, bh)  # (3C, BH*Wh)
+        gb = g_ref[0]  # (Co, 2BH, Wf)
+        gflat = gb.reshape(co * 2 * bh, wf)
+        slabs = []
+        for dj, cref in ((0, c0_ref), (1, c1_ref)):
+            d = lax.dot_general(
+                gflat, cref[:, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(gb.dtype)  # (Co*2BH, Wh)
+            even, odd = _split_row_phases(d, co, bh, wh)
+            for di, plane in ((0, even), (1, odd)):
+                g3 = plane.reshape(co, bh, wh)
+                # edge folds via slice+concat, NOT a (1,1,W)/iota mask: on
+                # this reshaped-chain value Mosaic's layout inference lowers
+                # the mask broadcast as an unsupported "Sublane broadcast"
+                # (b6-shape compile failure) — the direct-ref-read kernels
+                # (_dw_kernel) get away with the mask form
+                for s in (0, 1):
+                    if dj == 0 and s == 0:
+                        # tap x[j-1]: shift g left; left halo (x[-1]==x[0])
+                        # folds g col 0 into Gc col 0
+                        if zeros_mode:
+                            gs = _shift_l(g3, jnp.zeros_like(g3[:, :, :1]))
+                        else:
+                            gs = jnp.concatenate(
+                                [g3[:, :, :1] + g3[:, :, 1:2], g3[:, :, 2:],
+                                 jnp.zeros_like(g3[:, :, :1])],
+                                axis=-1,
+                            )
+                    elif dj == 1 and s == 1:
+                        # tap x[j+1]: shift g right; right halo folds the
+                        # last true column (only when width is exact — the
+                        # lane-padded case already pairs g[w_true-1] with
+                        # the edge value carried in column w_true)
+                        gs = _shift_r(g3, jnp.zeros_like(g3[:, :, :1]))
+                        if not zeros_mode and w_true_h == wh:
+                            gs = jnp.concatenate(
+                                [gs[:, :, : wh - 1],
+                                 gs[:, :, wh - 1 :] + g3[:, :, wh - 1 :]],
+                                axis=-1,
+                            )
+                    else:
+                        gs = g3
+                    slabs.append(((di, dj, s), gs.reshape(co, bh * wh)))
+        # order m = ((di*2+dj)*2+s)*Co+co (matches _pack_w_upconv)
+        slabs.sort(key=lambda kv: (kv[0][0] * 2 + kv[0][1]) * 2 + kv[0][2])
+        gc = jnp.concatenate([kv[1] for kv in slabs], axis=0)  # (8Co, BH*Wh)
+        acc = lax.dot_general(
+            gc, sx, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (8Co, 3C)
+        db = jnp.sum(
+            gb.reshape(co, 2 * bh * wf).astype(jnp.float32), axis=1,
+            keepdims=True,
+        )
+
+        first = jnp.logical_and(n == 0, t == 0)
+
+        @pl.when(first)
+        def _():
+            dw_ref[:, :] = acc
+            db_ref[:, :] = db
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dw_ref[:, :] = dw_ref[:, :] + acc
+            db_ref[:, :] = db_ref[:, :] + db
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "relu", "outer_padding", "co", "w_true_h"))
+def _upconv3x3_dw(x, g, scale, shift, *, relu: bool, outer_padding: str,
+                  co: int, w_true_h: int):
+    n, c, h, wh = x.shape
+    wf = g.shape[3]
+    bh = _pick_bh(h, wh, 6 * c + 24 * co, x.dtype.itemsize)
+    chunked = h % 8 == 0
+    if chunked:
+        tops = bots = x
+        top_spec, bot_spec = _chunk_specs(c, bh, wh, h)
+    else:
+        tops, bots = _halo_rows(x, bh)
+        top_spec = bot_spec = _halo_spec(c, h // bh, wh)
+    c0, c1 = _up_collect_matrices(wf, w_true_h, wh, g.dtype)
+    kernel = _updw_kernel(relu, outer_padding == "constant", bh, w_true_h,
+                          c, co, chunked)
+    dw2, db = pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=[
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+            pl.BlockSpec((1, co, 2 * bh, wf), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wf, wh), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wf, wh), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((8 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((8 * co, 3 * c), jnp.float32),
+            jax.ShapeDtypeStruct((co, 1), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(x, tops, bots, g, c0, c1, scale, shift)
+    return dw2, db[:, 0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def upconv3x3_chw_p(x, w, b, scale, shift, relu: bool, outer_padding: str,
+                    w_true_h: int, want_stats: bool):
+    """Fused nearest-2x upsample -> per-channel norm -> ReLU -> local-pad
+    3x3 conv, padded-carry: x (N, C, H, round128(w_true_h)) with valid
+    width ``w_true_h`` -> y (N, Co, 2H, round128(2*w_true_h)) with valid
+    width ``2*w_true_h`` and the outer-padding fill in its pad columns.
+    Equals ``conv3x3_chw_p(upsample2_chw_p(x, ...), ...)`` up to the float
+    regrouping of the combined 2x2 kernels (tests/test_upconv.py). With
+    ``want_stats`` also returns the output's (sum, sum_sq) per channel."""
+    if x.shape[3] != _round_up_128(w_true_h):
+        raise ValueError(
+            f"upconv3x3_chw_p: physical width {x.shape[3]} must be "
+            f"round_up_128(w_true_h={w_true_h})"
+        )
+    c, co = w.shape[2], w.shape[3]
+    wp = _pack_w_upconv(w).astype(x.dtype)
+    sc = _bcast_cw(scale, c, x.shape[3]).astype(x.dtype)
+    sh = _bcast_cw(shift, c, x.shape[3]).astype(x.dtype)
+    wf = _round_up_128(2 * w_true_h)
+    fill = "zeros" if outer_padding == "constant" else "edge"
+    e0, e1 = _up_scatter_matrices(x.shape[3], w_true_h, wf, fill, x.dtype)
+    return _upconv3x3_fwd(
+        x, wp, b.reshape(co, 1).astype(x.dtype), sc, sh, e0, e1,
+        relu=relu, outer_padding=outer_padding, w_true_h=w_true_h,
+        want_stats=want_stats,
+    )
+
+
+def _upconv_fwd_rule(x, w, b, scale, shift, relu, outer_padding, w_true_h,
+                     want_stats):
+    out = upconv3x3_chw_p(x, w, b, scale, shift, relu, outer_padding,
+                          w_true_h, want_stats)
+    y = out[0] if want_stats else out
+    return out, (x, w, b, scale, shift, y if want_stats else None)
+
+
+def _upconv_bwd_rule(relu, outer_padding, w_true_h, want_stats, res, cts):
+    x, w, b, scale, shift, y = res
+    if want_stats:
+        g, gs1, gs2 = cts
+        g = _bn_corr(g, y, gs1, 2.0 * gs2, w_true=2 * w_true_h)
+    else:
+        g = _mask_pad_cols(cts, 2 * w_true_h)
+    c, co = w.shape[2], w.shape[3]
+    sc = _bcast_cw(scale, c, x.shape[3]).astype(x.dtype)
+    sh = _bcast_cw(shift, c, x.shape[3]).astype(x.dtype)
+    dx, dscale, dshift = _upconv3x3_dx(
+        x, g, w, sc, sh, relu=relu, outer_padding=outer_padding, c=c,
+        w_true_h=w_true_h,
+    )
+    dw2, db = _upconv3x3_dw(
+        x, g, sc, sh, relu=relu, outer_padding=outer_padding, co=co,
+        w_true_h=w_true_h,
+    )
+    dw = _unpack_dw_upconv(dw2, c, co).astype(w.dtype)
+    return (dx.astype(x.dtype), dw, db.astype(b.dtype),
+            dscale.astype(scale.dtype), dshift.astype(shift.dtype))
+
+
+upconv3x3_chw_p.defvjp(_upconv_fwd_rule, _upconv_bwd_rule)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def conv1x1_chw_p(x, w, b, w_true: int):
+    """Plain padded-carry 1x1 conv (no residual, no stats): the fused-up
+    ResBlock shortcut runs it at HALF resolution (conv1x1 commutes with
+    nearest-2x) before :func:`upsample2_chw_add_p`. Pointwise, so the
+    input's pad-column fill maps straight to a valid output fill — no
+    padfix matmul needed (zeros-mode pads become `bias`, don't-care under
+    the consumers' self-masking)."""
+    co = w.shape[-1]
+    wm = jnp.transpose(w.reshape(-1, co), (1, 0)).astype(x.dtype)
+    return _conv1x1_chw_fwd(
+        x, wm, b.reshape(co, 1).astype(x.dtype), None,
+        want_stats=False, w_true=x.shape[3], emit_padded=True,
+    )
+
+
+def _p1x1_fwd_rule(x, w, b, w_true):
+    return conv1x1_chw_p(x, w, b, w_true), (x, w, b)
+
+
+def _p1x1_bwd_rule(w_true, saved, g):
+    g = _mask_pad_cols(g, w_true)
+    return _conv1x1_bwd_rule(saved, g)
+
+
+conv1x1_chw_p.defvjp(_p1x1_fwd_rule, _p1x1_bwd_rule)
+
+
+def _up2_add_kernel(bh_half: int, w_out: int, w_true_f: int,
+                    want_stats: bool):
+    def kernel(x_ref, e_ref, res_ref, y_ref, *stats):
+        n = pl.program_id(0)
+        t = pl.program_id(1)
+        x = _rowint(x_ref[0])  # (C, 2BH, Wh)
+        c = x.shape[0]
+        wh = x.shape[2]
+        y = lax.dot_general(
+            x.reshape(c * 2 * bh_half, wh), e_ref[:, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ).reshape(c, 2 * bh_half, w_out) + res_ref[0].astype(jnp.float32)
+        yc = y.astype(y_ref.dtype)
+        y_ref[0, :, :, :] = yc
+        if want_stats:
+            _acc_stats(yc, c, 2 * bh_half, w_out, w_true_f, stats[0],
+                       stats[1], jnp.logical_and(n == 0, t == 0))
+
+    return kernel
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def upsample2_chw_add_p(x, res, w_true_h: int, fill: str, want_stats: bool):
+    """y = nearest-2x(x) + res, padded-carry: x (N, C, H, round128(w_true_h)),
+    res (N, C, 2H, round128(2*w_true_h)) — the fused-up ResBlock's residual
+    join (shortcut upsample + add + the block's output BN statistics in one
+    kernel; the unfused path's `conv1x1_chw_add_p` equivalent)."""
+    n, c, h, wp_ = x.shape
+    if wp_ != _round_up_128(w_true_h):
+        raise ValueError(
+            f"upsample2_chw_add_p: physical width {wp_} must be "
+            f"round_up_128(w_true_h={w_true_h})"
+        )
+    target = _round_up_128(2 * w_true_h)
+    if res.shape != (n, c, 2 * h, target):
+        raise ValueError(f"res shape {res.shape} != {(n, c, 2 * h, target)}")
+    e = _up_e_matrix_p(wp_, w_true_h, target, fill, x.dtype)
+    bh_half = _pick_bh(h, 2 * wp_, 12 * c, x.dtype.itemsize)
+    out_specs = pl.BlockSpec(
+        (1, c, 2 * bh_half, target), lambda n, t: (n, 0, t, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct((n, c, 2 * h, target), x.dtype)
+    if want_stats:
+        acc_spec = pl.BlockSpec((c, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+        acc_shape = jax.ShapeDtypeStruct((c, 1), jnp.float32)
+        out_specs = (out_specs, acc_spec, acc_spec)
+        out_shape = (out_shape, acc_shape, acc_shape)
+    out = pl.pallas_call(
+        _up2_add_kernel(bh_half, target, 2 * w_true_h, want_stats),
+        grid=(n, h // bh_half),
+        in_specs=[
+            pl.BlockSpec((1, c, bh_half, wp_), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp_, target), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c, 2 * bh_half, target), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(x, e, res)
+    if want_stats:
+        y, s1, s2 = out
+        return y, s1[:, 0], s2[:, 0]
+    return out
+
+
+def _up2add_fwd_rule(x, res, w_true_h, fill, want_stats):
+    out = upsample2_chw_add_p(x, res, w_true_h, fill, want_stats)
+    y = out[0] if want_stats else out
+    return out, (y if want_stats else None,)
+
+
+def _up2add_bwd_rule(w_true_h, fill, want_stats, saved, cts):
+    (y,) = saved
+    if want_stats:
+        g, gs1, gs2 = cts
+        g = _bn_corr(g, y, gs1, 2.0 * gs2, w_true=2 * w_true_h)
+    else:
+        g = _mask_pad_cols(cts, 2 * w_true_h)
+    x_phys = _round_up_128(w_true_h)
+    e = _up_e_matrix_p(x_phys, w_true_h, g.shape[3], fill, g.dtype)
+    dx = _up2_bwd_call(g, jnp.transpose(e, (1, 0)))
+    return dx.astype(g.dtype), g
+
+
+upsample2_chw_add_p.defvjp(_up2add_fwd_rule, _up2add_bwd_rule)
+
+
+# --------------------------------------------------------------------------
 # 1x1 conv (the ResBlock shortcut) on channels-major arrays.
 
 

@@ -437,7 +437,10 @@ def test_chw_image_wire_matches_nhwc():
 
     results = []
     for chw_tail in ("on", "off"):
-        args = tiny_args(chw_tail=chw_tail)
+        # fuse_up off: this test isolates the IMAGE-WIRE equivalence at
+        # tight tolerance; the subpixel fusion regroups float additions and
+        # has its own noise-calibrated A/B (tests/test_upconv.py)
+        args = tiny_args(chw_tail=chw_tail, fuse_up="off")
         G, D = build(args)
         assert G.emits_chw() == (chw_tail == "on")
         state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 4)
