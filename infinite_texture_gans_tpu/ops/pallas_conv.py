@@ -329,7 +329,14 @@ def _padfix_matrix(w: int, w_true: int, dtype) -> jnp.ndarray:
 
 
 def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
+    if jax.default_backend() != "tpu":
+        return True
+    # a `with jax.default_device(cpu)` override (train_step.create_train_state
+    # runs the init compiles on the host CPU backend — the tunnel's remote
+    # compile of the init graphs cost ~170 s per training run) must also take
+    # the interpret path: Mosaic kernels cannot lower for the CPU backend
+    dd = jax.config.jax_default_device
+    return dd is not None and getattr(dd, "platform", "tpu") != "tpu"
 
 
 @functools.partial(jax.jit, static_argnames=(
