@@ -260,15 +260,18 @@ def train(args) -> None:
                     jax.profiler.stop_trace()
                     profiled = True
 
-        # Gather the per-step scalars on device and fetch once per leaf:
-        # device_get on the raw list moves ~3*steps_per_epoch tiny arrays,
-        # and on a high-latency link (the axon tunnel) each transfer pays a
-        # round trip — measured ~0.5 s/epoch at 125 steps. Superstep chunks
-        # arrive pre-stacked as (K,) arrays; per-step metrics as scalars.
+        # Gather the per-step scalars into ONE device array and fetch it in
+        # ONE transfer: device_get on the raw list moves ~3*steps_per_epoch
+        # tiny arrays and even the stacked per-leaf fetch pays one round
+        # trip per metric — on a high-latency link (the axon tunnel) each
+        # round trip is ~0.1-0.2 s. Superstep chunks arrive pre-stacked as
+        # (K,) arrays; per-step metrics as scalars.
         combine = jnp.concatenate if superstep is not None else jnp.stack
-        stacked = jax.device_get(
-            jax.tree.map(lambda *xs: combine(xs), *epoch_metrics)
-        )
+        names = sorted(epoch_metrics[0])
+        packed = jax.device_get(jnp.stack(
+            [combine([m[n] for m in epoch_metrics]) for n in names]
+        ))
+        stacked = {n: packed[i] for i, n in enumerate(names)}
         d_run = g_run = 0.0
         for i, b_size in enumerate(batch_sizes):
             d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
