@@ -13,9 +13,12 @@ torch importer, so trained reference models run on TPU unchanged.
 
 from __future__ import annotations
 
+import copy
 import json
 import os
+import queue
 import struct
+import threading
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -49,6 +52,58 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
         f.write(struct.pack("<Q", len(meta_blob)))
         f.write(meta_blob)
         f.write(blob)
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer.
+
+    Through the axon tunnel a blocking :func:`save_checkpoint` fetches every
+    state leaf host-side one round trip at a time (~6 s per save, ~10 saves
+    per 300-epoch run). JAX arrays are immutable and each train step builds a
+    NEW ``TrainState``, so snapshotting is free: ``submit`` just keeps
+    references to the device buffers and a single worker thread runs the
+    D2H + serialize + file write while the main loop keeps dispatching steps.
+
+    ``meta`` is deep-copied at submit time (the training loop mutates its
+    loss-history lists in place). Saves are written in submission order by
+    one worker, so a later epoch's file never races an earlier one. Call
+    :meth:`wait` before reading a checkpoint back or returning from
+    training; it re-raises the first worker error.
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue()
+        self._errors: list = []
+        self._thread: Optional[threading.Thread] = None
+
+    def _worker(self) -> None:
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            path, payload = item
+            try:
+                save_checkpoint(path, payload)
+            except Exception as e:  # surfaced by wait()
+                self._errors.append(e)
+
+    def submit(self, path: str, payload: Dict[str, Any]) -> None:
+        if "meta" in payload:
+            payload = dict(payload)
+            payload["meta"] = copy.deepcopy(payload["meta"])
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        self._q.put((path, payload))
+
+    def wait(self) -> None:
+        """Block until all submitted saves are on disk; re-raise any error."""
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+        if self._errors:
+            raise self._errors[0]
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

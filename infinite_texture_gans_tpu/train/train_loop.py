@@ -32,9 +32,9 @@ from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from infinite_texture_gans_tpu.train.checkpoint import (
+    AsyncCheckpointer,
     load_checkpoint,
     restore_train_state,
-    save_checkpoint,
 )
 from infinite_texture_gans_tpu.train.train_step import (
     create_train_state,
@@ -217,6 +217,7 @@ def train(args) -> None:
         print(f"steps per dispatch: {k_dispatch}")
 
     profiled = False
+    saver = AsyncCheckpointer()
     print("Starting Training Loop...")
     for epoch in range(start_epoch, args.epochs):
         key, data_key, epoch_key = jax.random.split(key, 3)
@@ -292,7 +293,7 @@ def train(args) -> None:
         if args.saving_rate is not None and (
             (epoch + 1) % args.saving_rate == 0 or (epoch + 1) == args.epochs
         ):
-            save_checkpoint(
+            saver.submit(
                 filename + f"{epoch + 1}.ckpt",
                 {
                     "meta": {
@@ -312,7 +313,7 @@ def train(args) -> None:
 
         if epoch + 1 == args.epochs:
             if args.ema:
-                save_checkpoint(
+                saver.submit(
                     filename + "_ema.ckpt",
                     {
                         "meta": {"args": args_to_dict(args)},
@@ -323,6 +324,7 @@ def train(args) -> None:
                     },
                 )
             _plot_losses(G_losses, D_losses, filename)
+    saver.wait()  # all submitted checkpoints on disk before train() returns
 
 
 def _plot_losses(G_losses, D_losses, filename) -> None:

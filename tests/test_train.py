@@ -200,6 +200,41 @@ def test_checkpoint_roundtrip(tmp_path):
     assert out.shape == (1, 96, 96, 3)
 
 
+def test_async_checkpointer_matches_sync(tmp_path):
+    """AsyncCheckpointer writes byte-identical files to the blocking path,
+    deep-copies meta at submit time (the loop mutates loss lists in place),
+    and wait() re-raises worker errors."""
+    from infinite_texture_gans_tpu.config import args_to_dict
+    from infinite_texture_gans_tpu.train.checkpoint import AsyncCheckpointer
+
+    args = tiny_args()
+    G, D = build(args)
+    state, _, _ = create_train_state(G, D, args, jax.random.key(0), 2)
+    losses = [1.0, 2.0]
+    payload = lambda: {  # noqa: E731
+        "meta": {"args": args_to_dict(args), "epoch": 3, "Gloss": losses},
+        "netG_variables": {"params": state.params_G, **state.aux_G},
+    }
+    sync_path = str(tmp_path / "sync.ckpt")
+    save_checkpoint(sync_path, payload())
+
+    saver = AsyncCheckpointer()
+    async_path = str(tmp_path / "async.ckpt")
+    saver.submit(async_path, payload())
+    losses.append(99.0)  # mutate after submit — must not leak into the file
+    saver.wait()
+    with open(sync_path, "rb") as a, open(async_path, "rb") as b:
+        assert a.read() == b.read()
+    ckpt = load_checkpoint(async_path)
+    assert ckpt["meta"]["Gloss"] == [1.0, 2.0]
+
+    saver.submit(str(tmp_path / ("x" * 300) / "x.ckpt"), payload())
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        saver.wait()
+
+
 def test_single_image_dataset(tmp_path):
     path = write_texture(str(tmp_path / "tex.png"), 64, 80)
     ds = SingleImageDataset(path, ext="png", random_crop=32, sampling=10)
