@@ -103,12 +103,14 @@ class RawConvParams(nn.Module):
 
     features: int
     kernel_size: int = 3
+    kernel_init: Any = None
 
     @nn.compact
     def __call__(self, in_ch: int):
         ks = self.kernel_size
+        init = self.kernel_init or orthogonal(column_axis=-1)
         kernel = self.param(
-            "kernel", orthogonal(column_axis=-1), (ks, ks, in_ch, self.features)
+            "kernel", init, (ks, ks, in_ch, self.features)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return kernel, bias
@@ -336,6 +338,35 @@ class StochasticSpatialModulation(nn.Module):
                 name="bn",
             )(x)
         p = 1 if self.padding_mode == "zeros" else 0
+        # Channels-major training path: the whole maps -> gamma/beta chain
+        # runs as one Pallas pass (ops/pallas_ssm.py) — the NHWC convs on
+        # md- and 2C-channel arrays are ~10-100x lane-padded in HBM and the
+        # embed output paid a NHWC->NCHW relayout per norm site. The halo
+        # raster engine (w_true None) keeps the XLA path and its bit-exact
+        # oracle relationships.
+        if (
+            chw
+            and p == 0
+            and not self.sn
+            and w_true is not None
+            and x.shape[2] % 8 == 0
+            and maps.shape[1] == x.shape[2] + 4
+        ):
+            from infinite_texture_gans_tpu.ops.pallas_ssm import ssm_embed_chw_p
+
+            k1, b1 = RawConvParams(self.hidden, name="mlp_shared")(
+                maps.shape[-1]
+            )
+            k2, b2 = RawConvParams(
+                2 * c, kernel_init=_ssm_embed_init(self.hidden, c),
+                name="embed",
+            )(self.hidden)
+            m = jnp.transpose(
+                jax.lax.stop_gradient(maps), (0, 3, 1, 2)
+            ).astype(self.dtype)
+            embed = ssm_embed_chw_p(m, k1, b1, k2, b2, w_true, out.shape[3])
+            gamma, beta = jnp.split(embed, 2, axis=1)
+            return (1 + gamma) * out + beta
         actv = conv3x3(self.hidden, self.sn, padding=p, dtype=self.dtype, name="mlp_shared")(
             maps.astype(jnp.float32), update_sn=update_sn
         )
