@@ -163,6 +163,13 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                              'host memory and ~9x less device->host traffic '
                              '(uint8, overlap-trimmed); use for very large '
                              'outputs. Output name must end in .png.')
+    parser.add_argument('--row_group', type=int, default=None,
+                        help='canvas rows generated per device dispatch. '
+                             'Default (None) runs the WHOLE canvas in one '
+                             'dispatch, which buffers every sub-image '
+                             '(~2.25x the canvas) in device memory; set a '
+                             'small value (e.g. 4) to bound device memory '
+                             'for very large canvases without --stream.')
     parser.add_argument('--platform', type=str, default='auto',
                         choices=['auto', 'cpu', 'tpu'],
                         help='pin the JAX platform (auto = ambient backend)')

@@ -207,33 +207,52 @@ class DeviceCropSampler:
         return bcast(self.img, batch_size)
 
 
-def _make_device_samplers(out_sharding=None):
-    import functools
+def sample_crops_body(img, key, crop: int, batch: int):
+    """In-jit random-crop batch: (H, W, C) uint8 -> (batch, crop, crop, C)
+    float32 in [-1, 1] (reference RandomCrop + ToTensor + Normalize(0.5),
+    datasets_classes.py:31-44).
 
+    THE single copy of the crop-sampling body — both DeviceCropSampler
+    (per-step path) and train_step.make_train_superstep trace this exact
+    function, so the superstep-equals-per-step guarantee
+    (tests/test_train.py::test_superstep_matches_per_step) can never drift
+    on key derivation or normalization arithmetic."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
+    h, w, c = img.shape
+    kh, kw = jax.random.split(key)
+    tops = jax.random.randint(kh, (batch,), 0, h - crop + 1)
+    lefts = jax.random.randint(kw, (batch,), 0, w - crop + 1)
+
+    def get(t, l):
+        return lax.dynamic_slice(img, (t, l, 0), (crop, crop, c))
+
+    crops = jax.vmap(get)(tops, lefts)
+    return crops.astype(jnp.float32) / 127.5 - 1.0
+
+
+def broadcast_norm_body(img, batch: int):
+    """In-jit center-crop batch (no random_crop): normalize + broadcast."""
+    import jax.numpy as jnp
+
+    x = img.astype(jnp.float32) / 127.5 - 1.0
+    return jnp.broadcast_to(x, (batch,) + x.shape)
+
+
+def _make_device_samplers(out_sharding=None):
+    import functools
+
+    import jax
+
     jit_kw = {} if out_sharding is None else {"out_shardings": out_sharding}
-
-    @functools.partial(jax.jit, static_argnames=("crop", "batch"), **jit_kw)
-    def sample_crops(img, key, crop, batch):
-        h, w, c = img.shape
-        kh, kw = jax.random.split(key)
-        tops = jax.random.randint(kh, (batch,), 0, h - crop + 1)
-        lefts = jax.random.randint(kw, (batch,), 0, w - crop + 1)
-
-        def get(t, l):
-            return lax.dynamic_slice(img, (t, l, 0), (crop, crop, c))
-
-        crops = jax.vmap(get)(tops, lefts)
-        return crops.astype(jnp.float32) / 127.5 - 1.0
-
-    @functools.partial(jax.jit, static_argnames=("batch",), **jit_kw)
-    def broadcast_norm(img, batch):
-        x = img.astype(jnp.float32) / 127.5 - 1.0
-        return jnp.broadcast_to(x, (batch,) + x.shape)
-
+    sample_crops = functools.partial(
+        jax.jit, static_argnames=("crop", "batch"), **jit_kw
+    )(sample_crops_body)
+    broadcast_norm = functools.partial(
+        jax.jit, static_argnames=("batch",), **jit_kw
+    )(broadcast_norm_body)
     return sample_crops, broadcast_norm
 
 

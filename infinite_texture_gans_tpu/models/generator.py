@@ -203,7 +203,10 @@ class ResidualPatchGenerator(nn.Module):
         # flow between kernels at physical lane-padded width so no XLA
         # pad/slice fusion (or its relayout copies) sits between Pallas
         # calls. SSM's XLA elementwise modulation rides along: its
-        # gamma/beta are zero-padded out to the physical width and its
+        # gamma/beta are EDGE-padded out to the physical width (the pad
+        # columns of a replicate-mode activation are load-bearing — the
+        # kernels read column w_true as the right halo, so the modulated
+        # pads must equal the modulated edge; see layers.py) and its
         # moments exclude the pad columns (StochasticSpatialModulation
         # w_true). The raster halo engine stays on the unpadded path.
         pad_carry = halo is None

@@ -86,6 +86,7 @@ def main():
             output_resolution_width=args_sample.output_resolution_width,
             num_images=args_sample.batch,
             progress=True,
+            row_group=args_sample.row_group,
             wire="u8",
         )
         folder = os.path.dirname(args_sample.model_path)

@@ -54,21 +54,33 @@ def save_checkpoint(path: str, payload: Dict[str, Any]) -> None:
         f.write(blob)
 
 
+@jax.jit
+def _device_snapshot(tree):
+    # Fresh device buffers (without donation XLA never aliases an output to
+    # a parameter), bit-identical to the input. One dispatch per submit.
+    return jax.tree_util.tree_map(lambda x: x.copy(), tree)
+
+
 class AsyncCheckpointer:
     """Background-thread checkpoint writer.
 
     Through the axon tunnel a blocking :func:`save_checkpoint` fetches every
     state leaf host-side one round trip at a time (~6 s per save, ~10 saves
-    per 300-epoch run). JAX arrays are immutable and each train step builds a
-    NEW ``TrainState``, so snapshotting is free: ``submit`` just keeps
-    references to the device buffers and a single worker thread runs the
-    D2H + serialize + file write while the main loop keeps dispatching steps.
+    per 300-epoch run). ``submit`` snapshots the device arrays into FRESH
+    device buffers (one jitted HBM copy — the train step is jitted with
+    ``donate_argnums``, so the next dispatch invalidates the live
+    ``TrainState`` buffers; holding bare references would turn every
+    non-final save into an "Array has been deleted" error) and a single
+    worker thread runs the D2H + serialize + file write while the main loop
+    keeps dispatching steps.
 
     ``meta`` is deep-copied at submit time (the training loop mutates its
     loss-history lists in place). Saves are written in submission order by
     one worker, so a later epoch's file never races an earlier one. Call
     :meth:`wait` before reading a checkpoint back or returning from
-    training; it re-raises the first worker error.
+    training. Worker errors re-raise at the NEXT :meth:`submit` or
+    :meth:`wait` (whichever comes first), then clear, so one failed save
+    does not poison a reused checkpointer.
     """
 
     def __init__(self) -> None:
@@ -84,13 +96,26 @@ class AsyncCheckpointer:
             path, payload = item
             try:
                 save_checkpoint(path, payload)
-            except Exception as e:  # surfaced by wait()
+            except Exception as e:  # surfaced by submit()/wait()
                 self._errors.append(e)
 
+    def _raise_pending(self) -> None:
+        if self._errors:
+            err, self._errors = self._errors[0], []
+            raise err
+
     def submit(self, path: str, payload: Dict[str, Any]) -> None:
+        self._raise_pending()
+        meta = None
         if "meta" in payload:
             payload = dict(payload)
-            payload["meta"] = copy.deepcopy(payload["meta"])
+            meta = copy.deepcopy(payload.pop("meta"))
+        # Snapshot device leaves BEFORE the caller dispatches the next
+        # (donating) train step: dispatched from the same thread, the copy
+        # program is ordered ahead of the donation on the device stream.
+        payload = _device_snapshot(payload)
+        if meta is not None:
+            payload["meta"] = meta
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
@@ -102,8 +127,7 @@ class AsyncCheckpointer:
             self._q.put(None)
             self._thread.join()
             self._thread = None
-        if self._errors:
-            raise self._errors[0]
+        self._raise_pending()
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:

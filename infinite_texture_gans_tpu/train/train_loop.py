@@ -219,111 +219,121 @@ def train(args) -> None:
     profiled = False
     saver = AsyncCheckpointer()
     print("Starting Training Loop...")
-    for epoch in range(start_epoch, args.epochs):
-        key, data_key, epoch_key = jax.random.split(key, 3)
-        step_keys = jax.random.split(epoch_key, steps_per_epoch)
-        # Metrics stay on device during the epoch (a float() per step would
-        # force a host sync and serialize dispatch); one block at epoch end.
-        epoch_metrics = []
-        batch_sizes = []
-        if superstep is not None:
-            crop_keys = jax.random.split(data_key, steps_per_epoch)
-            for ci in range(steps_per_epoch // k_dispatch):
-                sl = slice(ci * k_dispatch, (ci + 1) * k_dispatch)
-                state, metrics = superstep(
-                    state, device_sampler.img, crop_keys[sl], step_keys[sl]
-                )
-                epoch_metrics.append(metrics)  # dict of (K,) arrays
-            batch_sizes = [args.batch_size] * steps_per_epoch
-        else:
-            if device_sampler is not None:
+    try:
+        for epoch in range(start_epoch, args.epochs):
+            key, data_key, epoch_key = jax.random.split(key, 3)
+            step_keys = jax.random.split(epoch_key, steps_per_epoch)
+            # Metrics stay on device during the epoch (a float() per step would
+            # force a host sync and serialize dispatch); one block at epoch end.
+            epoch_metrics = []
+            batch_sizes = []
+            if superstep is not None:
                 crop_keys = jax.random.split(data_key, steps_per_epoch)
-                prefetcher = (
-                    device_sampler.sample(crop_keys[i], args.batch_size)
-                    for i in range(steps_per_epoch)
-                )
+                for ci in range(steps_per_epoch // k_dispatch):
+                    sl = slice(ci * k_dispatch, (ci + 1) * k_dispatch)
+                    state, metrics = superstep(
+                        state, device_sampler.img, crop_keys[sl], step_keys[sl]
+                    )
+                    epoch_metrics.append(metrics)  # dict of (K,) arrays
+                batch_sizes = [args.batch_size] * steps_per_epoch
             else:
-                prefetcher = Prefetcher(
-                    dataset,
-                    args.batch_size,
-                    steps_per_epoch,
-                    seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
-                    device_put=(lambda x: shard_batch(x, mesh)),
-                )
-            if args.profile_dir and not profiled and epoch == 0:
-                jax.profiler.start_trace(args.profile_dir)
-            for i, real_x in enumerate(prefetcher):
-                state, metrics = train_step(state, real_x, step_keys[i])
-                epoch_metrics.append(metrics)
-                batch_sizes.append(real_x.shape[0])
-                if args.profile_dir and not profiled and epoch == 0 and i == 4:
-                    jax.block_until_ready(state.params_G)
-                    jax.profiler.stop_trace()
-                    profiled = True
+                if device_sampler is not None:
+                    crop_keys = jax.random.split(data_key, steps_per_epoch)
+                    prefetcher = (
+                        device_sampler.sample(crop_keys[i], args.batch_size)
+                        for i in range(steps_per_epoch)
+                    )
+                else:
+                    prefetcher = Prefetcher(
+                        dataset,
+                        args.batch_size,
+                        steps_per_epoch,
+                        seed=int(jax.random.randint(data_key, (), 0, 2**31 - 1)),
+                        device_put=(lambda x: shard_batch(x, mesh)),
+                    )
+                if args.profile_dir and not profiled and epoch == 0:
+                    jax.profiler.start_trace(args.profile_dir)
+                for i, real_x in enumerate(prefetcher):
+                    state, metrics = train_step(state, real_x, step_keys[i])
+                    epoch_metrics.append(metrics)
+                    batch_sizes.append(real_x.shape[0])
+                    if args.profile_dir and not profiled and epoch == 0 and i == 4:
+                        jax.block_until_ready(state.params_G)
+                        jax.profiler.stop_trace()
+                        profiled = True
 
-        # Gather the per-step scalars into ONE device array and fetch it in
-        # ONE transfer: device_get on the raw list moves ~3*steps_per_epoch
-        # tiny arrays and even the stacked per-leaf fetch pays one round
-        # trip per metric — on a high-latency link (the axon tunnel) each
-        # round trip is ~0.1-0.2 s. Superstep chunks arrive pre-stacked as
-        # (K,) arrays; per-step metrics as scalars.
-        combine = jnp.concatenate if superstep is not None else jnp.stack
-        names = sorted(epoch_metrics[0])
-        packed = jax.device_get(jnp.stack(
-            [combine([m[n] for m in epoch_metrics]) for n in names]
-        ))
-        stacked = {n: packed[i] for i, n in enumerate(names)}
-        d_run = g_run = 0.0
-        for i, b_size in enumerate(batch_sizes):
-            d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
-                stacked["d_loss_real"][i]
-            ) * b_size
-            g_run += float(stacked["g_loss"][i]) * args.num_images
-        d_run /= max(1, sum(batch_sizes))
-        g_run /= max(1, args.num_images * len(batch_sizes))
-        elapsed_min = (time.time() - start_time) / 60
-        steps_sec = (epoch + 1) * steps_per_epoch / (time.time() - start_time)
-        print(
-            "[%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f, elapsed_time = %.4f min (%.2f steps/s)"
-            % (epoch + 1, args.epochs, d_run, g_run, elapsed_min, steps_sec)
-        )
-        G_losses.append(g_run)
-        D_losses.append(d_run)
-
-        if args.saving_rate is not None and (
-            (epoch + 1) % args.saving_rate == 0 or (epoch + 1) == args.epochs
-        ):
-            saver.submit(
-                filename + f"{epoch + 1}.ckpt",
-                {
-                    "meta": {
-                        "epoch": epoch + 1,
-                        "args": args_to_dict(args),
-                        "seed": seed,
-                        "Gloss": G_losses,
-                        "Dloss": D_losses,
-                    },
-                    "netG_variables": {"params": state.params_G, **state.aux_G},
-                    "netD_variables": {"params": state.params_D, **state.aux_D},
-                    "opt_G": state.opt_G,
-                    "opt_D": state.opt_D,
-                    "ema": state.ema if state.ema is not None else {},
-                },
+            # Gather the per-step scalars into ONE device array and fetch it in
+            # ONE transfer: device_get on the raw list moves ~3*steps_per_epoch
+            # tiny arrays and even the stacked per-leaf fetch pays one round
+            # trip per metric — on a high-latency link (the axon tunnel) each
+            # round trip is ~0.1-0.2 s. Superstep chunks arrive pre-stacked as
+            # (K,) arrays; per-step metrics as scalars.
+            combine = jnp.concatenate if superstep is not None else jnp.stack
+            names = sorted(epoch_metrics[0])
+            packed = jax.device_get(jnp.stack(
+                [combine([m[n] for m in epoch_metrics]) for n in names]
+            ))
+            stacked = {n: packed[i] for i, n in enumerate(names)}
+            d_run = g_run = 0.0
+            for i, b_size in enumerate(batch_sizes):
+                d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
+                    stacked["d_loss_real"][i]
+                ) * b_size
+                g_run += float(stacked["g_loss"][i]) * args.num_images
+            d_run /= max(1, sum(batch_sizes))
+            g_run /= max(1, args.num_images * len(batch_sizes))
+            elapsed_min = (time.time() - start_time) / 60
+            steps_sec = (epoch + 1) * steps_per_epoch / (time.time() - start_time)
+            print(
+                "[%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f, elapsed_time = %.4f min (%.2f steps/s)"
+                % (epoch + 1, args.epochs, d_run, g_run, elapsed_min, steps_sec)
             )
+            G_losses.append(g_run)
+            D_losses.append(d_run)
 
-        if epoch + 1 == args.epochs:
-            if args.ema:
+            if args.saving_rate is not None and (
+                (epoch + 1) % args.saving_rate == 0 or (epoch + 1) == args.epochs
+            ):
                 saver.submit(
-                    filename + "_ema.ckpt",
+                    filename + f"{epoch + 1}.ckpt",
                     {
-                        "meta": {"args": args_to_dict(args)},
-                        "netG_variables": {
-                            "params": state.ema["params"],
-                            "batch_stats": state.ema["batch_stats"],
+                        "meta": {
+                            "epoch": epoch + 1,
+                            "args": args_to_dict(args),
+                            "seed": seed,
+                            "Gloss": G_losses,
+                            "Dloss": D_losses,
                         },
+                        "netG_variables": {"params": state.params_G, **state.aux_G},
+                        "netD_variables": {"params": state.params_D, **state.aux_D},
+                        "opt_G": state.opt_G,
+                        "opt_D": state.opt_D,
+                        "ema": state.ema if state.ema is not None else {},
                     },
                 )
-            _plot_losses(G_losses, D_losses, filename)
+
+            if epoch + 1 == args.epochs:
+                if args.ema:
+                    saver.submit(
+                        filename + "_ema.ckpt",
+                        {
+                            "meta": {"args": args_to_dict(args)},
+                            "netG_variables": {
+                                "params": state.ema["params"],
+                                "batch_stats": state.ema["batch_stats"],
+                            },
+                        },
+                    )
+                _plot_losses(G_losses, D_losses, filename)
+    except BaseException:
+        # Drain in-flight saves so a crash/Ctrl-C does not kill the
+        # daemon worker mid-write (truncated checkpoint file); swallow
+        # the drain's own errors so they never mask the original one.
+        try:
+            saver.wait()
+        except Exception:
+            pass
+        raise
     saver.wait()  # all submitted checkpoints on disk before train() returns
 
 

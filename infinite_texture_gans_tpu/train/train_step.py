@@ -412,20 +412,18 @@ def make_train_superstep(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def superstep(state: TrainState, img: jnp.ndarray, crop_keys, step_keys):
         def sample_real(ck):
+            # the SHARED crop body (data.datasets.sample_crops_body): the
+            # superstep-equals-per-step guarantee depends on both paths
+            # tracing the same key derivation and arithmetic
+            from infinite_texture_gans_tpu.data.datasets import (
+                broadcast_norm_body,
+                sample_crops_body,
+            )
+
             if crop:
-                h, w, c = img.shape
-                kh, kw_ = jax.random.split(ck)
-                tops = jax.random.randint(kh, (batch_size,), 0, h - crop + 1)
-                lefts = jax.random.randint(kw_, (batch_size,), 0, w - crop + 1)
-
-                def get(t, l):
-                    return jax.lax.dynamic_slice(img, (t, l, 0), (crop, crop, c))
-
-                real = jax.vmap(get)(tops, lefts)
-                real = real.astype(jnp.float32) / 127.5 - 1.0
+                real = sample_crops_body(img, ck, crop, batch_size)
             else:
-                x = img.astype(jnp.float32) / 127.5 - 1.0
-                real = jnp.broadcast_to(x, (batch_size,) + x.shape)
+                real = broadcast_norm_body(img, batch_size)
             if mesh is not None:
                 real = jax.lax.with_sharding_constraint(real, batch_sharding)
             return real

@@ -358,7 +358,13 @@ def test_full_train_loop_mesh(tmp_path, capsys):
 
 def test_full_train_loop_smoke(tmp_path):
     """Two tiny epochs end to end through train(args): losses finite,
-    checkpoints + EMA checkpoint + losses.png written."""
+    checkpoints + EMA checkpoint + losses.png written.
+
+    saving_rate=1 on purpose: the NON-final epoch's checkpoint is written by
+    the async saver while the next epoch's donating train step runs —
+    regression test for the buffer-donation bug where submit() held bare
+    references to donated TrainState buffers and every intermediate save
+    died with "Array has been deleted"."""
     from infinite_texture_gans_tpu.train.train_loop import train
 
     tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
@@ -366,13 +372,14 @@ def test_full_train_loop_smoke(tmp_path):
         data_path=tex,
         data_ext="png",
         epochs=2,
-        saving_rate=2,
+        saving_rate=1,
         fname=str(tmp_path / "cp"),
         seed=3,
         batch_size=2,
         sampling=4,
     )
     train(args)
+    assert os.path.exists(str(tmp_path / "cp" / "2_1.ckpt"))
     assert os.path.exists(str(tmp_path / "cp" / "2_2.ckpt"))
     assert os.path.exists(str(tmp_path / "cp" / "2__ema.ckpt"))
     assert os.path.exists(str(tmp_path / "cp" / "2_losses.png"))
