@@ -234,6 +234,13 @@ def test_async_checkpointer_matches_sync(tmp_path):
     with _pytest.raises(OSError):
         saver.wait()
 
+    # The error must CLEAR once raised: a reused saver writes the next
+    # checkpoint cleanly instead of re-raising the stale OSError forever.
+    retry_path = str(tmp_path / "retry.ckpt")
+    saver.submit(retry_path, payload())
+    saver.wait()
+    assert load_checkpoint(retry_path)["meta"]["epoch"] == 3
+
 
 def test_single_image_dataset(tmp_path):
     path = write_texture(str(tmp_path / "tex.png"), 64, 80)
