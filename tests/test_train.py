@@ -399,6 +399,37 @@ def test_full_train_loop_smoke(tmp_path):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_train_crash_drains_queued_saves(tmp_path, monkeypatch):
+    """An exception mid-training must still leave every ALREADY-SUBMITTED
+    async checkpoint fully written (train()'s drain-on-crash path): a crash
+    that kills the process with the daemon writer mid-file is exactly the
+    scenario where the last checkpoint matters most."""
+    from infinite_texture_gans_tpu.train import train_loop
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash after the final submits")
+
+    monkeypatch.setattr(train_loop, "_plot_losses", boom)
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+    args = tiny_args(
+        data_path=tex,
+        data_ext="png",
+        epochs=2,
+        saving_rate=1,
+        fname=str(tmp_path / "cp"),
+        seed=3,
+        batch_size=2,
+        sampling=4,
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        train(args)
+    # Everything submitted before the crash is on disk and loads cleanly.
+    for name in ("2_1.ckpt", "2_2.ckpt", "2__ema.ckpt"):
+        ckpt = load_checkpoint(str(tmp_path / "cp" / name))
+        assert "netG_variables" in ckpt
+
+
 def test_superstep_matches_per_step(tmp_path):
     """K-steps-per-dispatch superstep (lax.scan over the fused step, crops
     sampled in-jit) must reproduce the per-step dispatch path: the key
