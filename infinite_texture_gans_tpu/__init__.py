@@ -23,6 +23,32 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def host_cache_fingerprint() -> str:
+    """Short fingerprint of this host's CPU (ISA flags + arch).
+
+    XLA's persistent-cache key does NOT include the compile host's CPU
+    target features, and XLA:CPU AOT executables compiled on a machine with
+    a richer ISA abort (SIGABRT/SIGILL) when loaded on a host without it —
+    observed when this environment migrated machines mid-round. Keying the
+    cache directory by host CPU makes a migration start a fresh cache
+    instead of loading incompatible executables. TPU executables don't
+    depend on the host ISA, so the only cost is one cold compile per new
+    host."""
+    try:
+        flags = ""
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        flags = ""
+    import hashlib
+    import platform
+
+    return hashlib.md5((platform.machine() + ":" + flags).encode()).hexdigest()[:8]
+
+
 def _enable_persistent_compilation_cache() -> None:
     """XLA compiles of the full train step take minutes on TPU; cache the
     compiled executables on disk so every CLI/bench process after the first
@@ -33,7 +59,11 @@ def _enable_persistent_compilation_cache() -> None:
 
     cache_dir = _os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache", "itg_tpu_xla"),
+        _os.path.join(
+            _os.path.expanduser("~"),
+            ".cache",
+            "itg_tpu_xla_" + host_cache_fingerprint(),
+        ),
     )
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)

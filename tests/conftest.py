@@ -15,8 +15,14 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: the suite is compile-bound on CPU; cached
-# executables make re-runs fast.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+# executables make re-runs fast. The directory is keyed by host CPU
+# fingerprint — XLA:CPU AOT results from a different machine can abort on
+# load (see infinite_texture_gans_tpu.host_cache_fingerprint).
+from infinite_texture_gans_tpu import host_cache_fingerprint
+
+jax.config.update(
+    "jax_compilation_cache_dir", "/tmp/jax_test_cache_" + host_cache_fingerprint()
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
