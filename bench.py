@@ -102,13 +102,19 @@ def main() -> None:
         num_images=args.num_images, ema_decay=args.ema_decay, use_ema=args.ema,
     )
 
-    n_steps = int(os.environ.get("BENCH_STEPS", "40"))
     # The production train loop runs K steps per device dispatch
     # (train_step.make_train_superstep: lax.scan over the fused step with
     # the real crops sampled in-jit from the on-device source texture) —
-    # bench the same path. BENCH_MODE=step measures the per-step-dispatch
-    # path instead (the round-1/2 methodology; ~5 ms/step dispatch latency
-    # through the axon tunnel sits on top of the device step there).
+    # bench the same path at the production dispatch size: the Exp-1 recipe
+    # has 125 steps/epoch and dispatch_chunk(125, 128) = 125, so one timed
+    # dispatch IS one production epoch. (A 10-step superstep xplane trace
+    # measures 20.14 ms/step of device time — identical to the per-step
+    # path's 20.1 ms, i.e. the in-scan crop sampling is free; what a longer
+    # loop amortizes is only the fixed ~35 ms host dispatch latency of the
+    # axon tunnel.) BENCH_MODE=step measures the per-step-dispatch path
+    # instead (the round-1/2 methodology; ~5 ms/step dispatch latency
+    # through the tunnel sits on top of the device step there).
+    n_steps = int(os.environ.get("BENCH_STEPS", "125"))
     per_step_mode = os.environ.get("BENCH_MODE") == "step"
     img = jax.device_put(
         np.random.default_rng(3).integers(0, 256, (440, 614, 3), dtype=np.uint8)

@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Trace one Exp-1 superstep dispatch (K steps, crops sampled in-jit) so the
+per-step device time can be compared with the per-step-path trace
+(trace_step.py, which feeds pre-made crops). The difference isolates the
+in-scan crop-sampling + scan-plumbing cost.
+
+Usage: python benchmarks/trace_superstep.py [/tmp/itg_trace_super] [K]
+Then:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
+         python benchmarks/parse_trace.py /tmp/itg_trace_super <K>
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from infinite_texture_gans_tpu.config import (
+    discriminator_kwargs, generator_kwargs, prepare_parser,
+)
+from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.train.train_step import (
+    create_train_state, make_train_superstep,
+)
+
+
+def main(trace_dir: str, k: int) -> None:
+    args = prepare_parser().parse_args([])
+    args.padding_mode = "local"; args.attention = True
+    args.n_layers_G = 6; args.n_layers_D = 4
+    args.spec_norm_D = True; args.smooth = True; args.ema = True
+    args.random_crop = 192; args.batch_size = 64; args.num_images = 8
+    args.compute_dtype = os.environ.get("BENCH_COMPUTE_DTYPE", "bfloat16")
+
+    G = ResidualPatchGenerator(**generator_kwargs(args))
+    D = PatchDiscriminator(**discriminator_kwargs(args))
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 125)
+    superstep = make_train_superstep(
+        G, D, tx_G, tx_D, crop=args.random_crop, batch_size=args.batch_size,
+        loss_type=args.loss, smooth=True, disc_iters=1, num_images=8,
+        ema_decay=0.999, use_ema=True,
+    )
+    img = jax.device_put(np.random.default_rng(3).integers(
+        0, 256, (440, 614, 3), dtype=np.uint8))
+    ck = jax.random.split(jax.random.key(1), 2 * k)
+    sk = jax.random.split(jax.random.key(2), 2 * k)
+
+    state, _ = superstep(state, img, ck[:k], sk[:k])  # compile + warm
+    jax.block_until_ready(state.params_G)
+
+    jax.profiler.start_trace(trace_dir)
+    state, _ = superstep(state, img, ck[k:], sk[k:])
+    jax.block_until_ready(state.params_G)
+    jax.profiler.stop_trace()
+    print("trace written to", trace_dir)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/itg_trace_super",
+         int(sys.argv[2]) if len(sys.argv) > 2 else 10)
