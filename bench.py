@@ -147,18 +147,26 @@ def main() -> None:
             G, D, tx_G, tx_D, crop=args.random_crop,
             batch_size=args.batch_size, **step_kw,
         )
-        crop_keys = jax.random.split(jax.random.key(1), 2 * n_steps)
-        step_keys = jax.random.split(jax.random.key(2), 2 * n_steps)
+        # Production steady state (train_loop.py): epoch N+1 is dispatched
+        # before epoch N's metrics are fetched, so the host round trip
+        # overlaps device compute and back-to-back dispatches keep the
+        # device queue full. Time M pipelined dispatches with ONE final
+        # block — a single timed dispatch would charge a full tunnel round
+        # trip (~0.15 s) against one epoch, which production never pays.
+        n_disp = int(os.environ.get("BENCH_DISPATCHES", "3"))
+        crop_keys = jax.random.split(jax.random.key(1), (n_disp + 1) * n_steps)
+        step_keys = jax.random.split(jax.random.key(2), (n_disp + 1) * n_steps)
         # warmup / compile: one full-length dispatch
         state, _ = superstep(state, img, crop_keys[:n_steps], step_keys[:n_steps])
         jax.block_until_ready(state.params_G)
         setup_s = time.time() - t_setup
         t0 = time.time()
-        state, metrics = superstep(
-            state, img, crop_keys[n_steps:], step_keys[n_steps:]
-        )
+        for d in range(1, n_disp + 1):
+            sl = slice(d * n_steps, (d + 1) * n_steps)
+            state, metrics = superstep(state, img, crop_keys[sl], step_keys[sl])
         jax.block_until_ready(state.params_G)
         dt = time.time() - t0
+        n_steps *= n_disp
     steps_per_sec = n_steps / dt
     # patches through G per train step: num_images * 3x3 (train fake grid)
     patches_per_sec = steps_per_sec * args.num_images * 9

@@ -1,12 +1,15 @@
 #!/usr/bin/env python
-"""Trace one Exp-1 superstep dispatch (K steps, crops sampled in-jit) so the
-per-step device time can be compared with the per-step-path trace
-(trace_step.py, which feeds pre-made crops). The difference isolates the
-in-scan crop-sampling + scan-plumbing cost.
+"""Trace ONE superstep dispatch (K steps incl. in-jit crop sampling).
 
-Usage: python benchmarks/trace_superstep.py [/tmp/itg_trace_super] [K]
+The per-step trace (trace_step.py) times the fused train step on a fixed
+real batch; the production path (train_loop + bench.py) runs
+``make_train_superstep`` — the same step under ``lax.scan`` with the real
+crops sampled in-jit. This script traces that exact dispatch so the wall
+rate (bench.py) can be reconciled against device time category by category.
+
+Usage: python benchmarks/trace_superstep.py [/tmp/itg_trace_super] [K=25]
 Then:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
-         python benchmarks/parse_trace.py /tmp/itg_trace_super <K>
+         python benchmarks/parse_trace.py /tmp/itg_trace_super --cat [K]
 """
 
 import os
@@ -15,6 +18,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from infinite_texture_gans_tpu.config import (
@@ -43,21 +47,28 @@ def main(trace_dir: str, k: int) -> None:
         loss_type=args.loss, smooth=True, disc_iters=1, num_images=8,
         ema_decay=0.999, use_ema=True,
     )
-    img = jax.device_put(np.random.default_rng(3).integers(
-        0, 256, (440, 614, 3), dtype=np.uint8))
-    ck = jax.random.split(jax.random.key(1), 2 * k)
-    sk = jax.random.split(jax.random.key(2), 2 * k)
+    img = jnp.asarray(np.random.default_rng(0).integers(
+        0, 256, (768, 1024, 3), dtype=np.uint8))
 
-    state, _ = superstep(state, img, ck[:k], sk[:k])  # compile + warm
+    def keys(seed):
+        base = jax.random.key(seed)
+        ck, sk = jax.random.split(base)
+        return (jax.random.split(ck, k), jax.random.split(sk, k))
+
+    ck, sk = keys(0)
+    state, _ = superstep(state, img, ck, sk)  # compile + warm
     jax.block_until_ready(state.params_G)
 
     jax.profiler.start_trace(trace_dir)
-    state, _ = superstep(state, img, ck[k:], sk[k:])
+    ck, sk = keys(1)
+    state, m = superstep(state, img, ck, sk)
     jax.block_until_ready(state.params_G)
     jax.profiler.stop_trace()
-    print("trace written to", trace_dir)
+    print("g_loss[-1] =", float(m["g_loss"][-1]))
+    print(f"trace written to {trace_dir} (one dispatch of K={k} steps; "
+          f"divide totals by {k})")
 
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/itg_trace_super",
-         int(sys.argv[2]) if len(sys.argv) > 2 else 10)
+         int(sys.argv[2]) if len(sys.argv) > 2 else 25)

@@ -218,6 +218,37 @@ def train(args) -> None:
 
     profiled = False
     saver = AsyncCheckpointer()
+
+    # Deferred epoch-metrics fetch: ``pending`` holds the previous epoch's
+    # packed (still-on-device) metrics so its device_get can overlap with the
+    # CURRENT epoch's compute instead of inserting a host round trip between
+    # epochs (see the comment at the pack site below).
+    pending = None  # (epoch, names, packed_device_array, batch_sizes)
+
+    def _flush_epoch_metrics(entry):
+        e, names, packed_dev, batch_sizes = entry
+        packed = jax.device_get(packed_dev)
+        stacked = {n: packed[i] for i, n in enumerate(names)}
+        d_run = g_run = 0.0
+        for i, b_size in enumerate(batch_sizes):
+            d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
+                stacked["d_loss_real"][i]
+            ) * b_size
+            g_run += float(stacked["g_loss"][i]) * args.num_images
+        d_run /= max(1, sum(batch_sizes))
+        g_run /= max(1, args.num_images * len(batch_sizes))
+        # device_get above blocks until epoch ``e`` finished on device, so
+        # the elapsed/steps-per-sec report stays accurate even though the
+        # print is issued one epoch late.
+        elapsed_min = (time.time() - start_time) / 60
+        steps_sec = (e + 1) * steps_per_epoch / (time.time() - start_time)
+        print(
+            "[%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f, elapsed_time = %.4f min (%.2f steps/s)"
+            % (e + 1, args.epochs, d_run, g_run, elapsed_min, steps_sec)
+        )
+        G_losses.append(g_run)
+        D_losses.append(d_run)
+
     print("Starting Training Loop...")
     try:
         for epoch in range(start_epoch, args.epochs):
@@ -262,38 +293,37 @@ def train(args) -> None:
                         jax.profiler.stop_trace()
                         profiled = True
 
-            # Gather the per-step scalars into ONE device array and fetch it in
-            # ONE transfer: device_get on the raw list moves ~3*steps_per_epoch
-            # tiny arrays and even the stacked per-leaf fetch pays one round
-            # trip per metric — on a high-latency link (the axon tunnel) each
-            # round trip is ~0.1-0.2 s. Superstep chunks arrive pre-stacked as
-            # (K,) arrays; per-step metrics as scalars.
+            # Gather the per-step scalars into ONE device array (device_get
+            # on the raw list would move ~3*steps_per_epoch tiny arrays, one
+            # round trip per metric), but DEFER the fetch by one epoch: a
+            # device_get here blocks until this epoch's dispatches finish and
+            # pays a host round trip (~0.1-0.2 s on the axon tunnel) BETWEEN
+            # epochs — dead air on the device. The packed array rides on
+            # device until the NEXT epoch has been dispatched, so the fetch
+            # overlaps its compute and the device never idles (worth ~6% wall
+            # at 125-step epochs through the tunnel; docs/PERF.md). Superstep
+            # chunks arrive pre-stacked as (K,) arrays; per-step metrics as
+            # scalars.
             combine = jnp.concatenate if superstep is not None else jnp.stack
             names = sorted(epoch_metrics[0])
-            packed = jax.device_get(jnp.stack(
+            packed_dev = jnp.stack(
                 [combine([m[n] for m in epoch_metrics]) for n in names]
-            ))
-            stacked = {n: packed[i] for i, n in enumerate(names)}
-            d_run = g_run = 0.0
-            for i, b_size in enumerate(batch_sizes):
-                d_run += float(stacked["d_loss_fake"][i]) * args.num_images + float(
-                    stacked["d_loss_real"][i]
-                ) * b_size
-                g_run += float(stacked["g_loss"][i]) * args.num_images
-            d_run /= max(1, sum(batch_sizes))
-            g_run /= max(1, args.num_images * len(batch_sizes))
-            elapsed_min = (time.time() - start_time) / 60
-            steps_sec = (epoch + 1) * steps_per_epoch / (time.time() - start_time)
-            print(
-                "[%d/%d]\tLoss_D: %.4f\tLoss_G: %.4f, elapsed_time = %.4f min (%.2f steps/s)"
-                % (epoch + 1, args.epochs, d_run, g_run, elapsed_min, steps_sec)
             )
-            G_losses.append(g_run)
-            D_losses.append(d_run)
-
-            if args.saving_rate is not None and (
+            if pending is not None:
+                _flush_epoch_metrics(pending)
+                pending = None
+            current = (epoch, names, packed_dev, batch_sizes)
+            ckpt_due = args.saving_rate is not None and (
                 (epoch + 1) % args.saving_rate == 0 or (epoch + 1) == args.epochs
-            ):
+            )
+            if ckpt_due or (epoch + 1) == args.epochs:
+                # the checkpoint meta embeds the loss history through THIS
+                # epoch, and the final epoch plots it — fetch now.
+                _flush_epoch_metrics(current)
+            else:
+                pending = current
+
+            if ckpt_due:
                 saver.submit(
                     filename + f"{epoch + 1}.ckpt",
                     {
