@@ -2423,7 +2423,7 @@ def _stem_row_zero_border(ref, t, pick7: bool, border_t, chunked: bool):
     return jnp.where(t == border_t, 0.0, row).astype(ch.dtype)
 
 
-def _stem_kernel(bho: int, bw: int, co: int, chunked: bool = False):
+def _stem_kernel(bho: int, bw: int, co: int, w2s: int, chunked: bool = False):
     def kernel(x_ref, top_ref, bot_ref, mp_ref, wm_ref, b_ref, y_ref):
         t = pl.program_id(1)
         nt = pl.num_programs(1)
@@ -2442,7 +2442,12 @@ def _stem_kernel(bho: int, bw: int, co: int, chunked: bool = False):
             tstack, wm_ref[:, :], (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + b_ref[:, :]
-        y_ref[0, :, :, :] = y.reshape(bho, bw, co).astype(y_ref.dtype)
+        # Store only the true output columns (a sublane slice; w2s is
+        # 8-aligned) so no XLA-side slice of the lane-padded width is
+        # needed on either stem call.
+        y_ref[0, :, :, :] = (
+            y.reshape(bho, bw, co)[:, :w2s, :].astype(y_ref.dtype)
+        )
 
     return kernel
 
@@ -2495,8 +2500,8 @@ def _stem_chunk_plan(x, bho: int):
     return True, x, x, top_spec, bot_spec
 
 
-@jax.jit
-def _stem_fwd_call(x, mp, wm, b):
+@functools.partial(jax.jit, static_argnums=(4,))
+def _stem_fwd_call(x, mp, wm, b, w2s):
     n, c3, h, w_img = x.shape
     h2 = h // 2
     bw = mp.shape[1] // 4
@@ -2505,7 +2510,7 @@ def _stem_fwd_call(x, mp, wm, b):
     chunked, tops, bots, top_spec, bot_spec = _stem_chunk_plan(x, bho)
     nt = h2 // bho
     return pl.pallas_call(
-        _stem_kernel(bho, bw, co, chunked),
+        _stem_kernel(bho, bw, co, w2s, chunked),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
@@ -2516,14 +2521,14 @@ def _stem_fwd_call(x, mp, wm, b):
             pl.BlockSpec((1, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, bho, bw, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM
+            (1, bho, w2s, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((n, h2, bw, co), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, h2, w2s, co), x.dtype),
         interpret=_interpret(),
     )(x, tops, bots, mp, wm, b)
 
 
-def _stem_dw_kernel(bho: int, bw: int, co: int, chunked: bool = False):
+def _stem_dw_kernel(bho: int, bw: int, co: int, w2s: int, chunked: bool = False):
     def kernel(x_ref, top_ref, bot_ref, mp_ref, g_ref, dw_ref, db_ref):
         n = pl.program_id(0)
         t = pl.program_id(1)
@@ -2534,10 +2539,17 @@ def _stem_dw_kernel(bho: int, bw: int, co: int, chunked: bool = False):
             _stem_row_zero_border(bot_ref, t, False, nt - 1, chunked),
             mp_ref, bho, bw, x_ref.dtype,
         )
-        # g arrives NHWC (1, bho, bw, co) — the layout XLA's discriminator
-        # backward produces natively, so no boundary transpose of the
-        # incoming gradient is needed.
-        gflat = g_ref[0].reshape(bho * bw, co)
+        # g arrives NHWC (1, bho, w2s, co) at its TRUE width — the layout
+        # XLA's discriminator backward produces natively, so neither a
+        # boundary transpose nor an XLA-side width pad of the incoming
+        # gradient is needed. Zero-fill the lane-pad columns in VMEM
+        # (a sublane concat) to match tstack's (m, j) column flattening.
+        gv = g_ref[0]
+        if w2s != bw:
+            gv = jnp.concatenate(
+                [gv, jnp.zeros((bho, bw - w2s, co), gv.dtype)], axis=1
+            )
+        gflat = gv.reshape(bho * bw, co)
         acc = lax.dot_general(
             tstack, gflat, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -2564,18 +2576,19 @@ def _stem_dw_call(x, mp, g):
     h2 = h // 2
     bw = mp.shape[1] // 4
     co = g.shape[3]
+    w2s = g.shape[2]
     bho = _stem_pick_bho(h2)
     chunked, tops, bots, top_spec, bot_spec = _stem_chunk_plan(x, bho)
     nt = h2 // bho
     return pl.pallas_call(
-        _stem_dw_kernel(bho, bw, co, chunked),
+        _stem_dw_kernel(bho, bw, co, w2s, chunked),
         grid=(n, nt),
         in_specs=[
             pl.BlockSpec((1, 3, 2 * bho, w_img), lambda n, t: (n, 0, t, 0), memory_space=pltpu.VMEM),
             top_spec,
             bot_spec,
             pl.BlockSpec((w_img, 4 * bw), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bho, bw, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bho, w2s, co), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((48, co), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
@@ -2604,16 +2617,35 @@ def _stem_mpt_chunks(w_img: int, bw: int, w2: int, dtype) -> jnp.ndarray:
     return hit.astype(dtype)
 
 
-def _stem_dx_kernel(bho: int, co: int, w_img: int):
+def _stem_dx_kernel(bho: int, co: int, w_img: int, w2s: int, nc: int):
     def kernel(g_ref, wt_ref, mpt_ref, dx_ref, topo_ref, boto_ref):
         c_id = pl.program_id(2)
-        # g arrives NHWC (1, bho, 128, co); contract its minor co axis with
-        # wt's — same (48, bho*128) tap-grad matrix, no in-kernel transpose.
-        gflat = g_ref[0].reshape(bho * 128, co)
-        q = lax.dot_general(
-            wt_ref[:, :], gflat, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(g_ref.dtype)  # (48, bho*128), rows (dy, c, dx)
+        # g arrives NHWC (1, bho, w2s, co) at its TRUE width (one block per
+        # lane chunk — no XLA-side width pad). Each chunk's 128 output
+        # columns are a static sublane slice, zero-filled past w2s; build
+        # every chunk's (48, bho*128) tap-grad matrix (the wt contraction
+        # is tiny) and select this chunk's in f32 by grid index (Mosaic
+        # cannot select packed bf16 vectors).
+        gv = g_ref[0]
+        qf = None
+        for c in range(nc):
+            wc = min(128, w2s - 128 * c)
+            gc = gv[:, 128 * c : 128 * c + wc, :]
+            if wc < 128:
+                gc = jnp.concatenate(
+                    [gc, jnp.zeros((bho, 128 - wc, co), gv.dtype)], axis=1
+                )
+            qc = lax.dot_general(
+                wt_ref[:, :], gc.reshape(bho * 128, co),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (48, bho*128), rows (dy, c, dx)
+            if nc == 1:
+                qf = qc
+            else:
+                m = (c_id == c).astype(jnp.float32)
+                qf = qc * m if qf is None else qf + qc * m
+        q = qf.astype(gv.dtype)
         mpt = mpt_ref[0]  # (4*128, W)
         # per (dy, c): scatter the four dx tap-grads back onto input columns
         # through the matching Mp^T row band
@@ -2681,15 +2713,15 @@ def _stem_dx_kernel(bho: int, co: int, w_img: int):
 
 @jax.jit
 def _stem_dx_call(g, wt, mpt_c):
-    n, h2, bw, co = g.shape
+    n, h2, w2s, co = g.shape
     nc, _, w_img = mpt_c.shape
     bho = _stem_pick_bho(h2)
     nt = h2 // bho
     dx, topo, boto = pl.pallas_call(
-        _stem_dx_kernel(bho, co, w_img),
+        _stem_dx_kernel(bho, co, w_img, w2s, nc),
         grid=(n, nt, nc),
         in_specs=[
-            pl.BlockSpec((1, bho, 128, co), lambda n, t, c: (n, t, c, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bho, w2s, co), lambda n, t, c: (n, t, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((48, co), lambda n, t, c: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4 * 128, w_img), lambda n, t, c: (c, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -2750,7 +2782,10 @@ def _stem_impl_chw(xc, w, b):
         xc = jnp.pad(xc, ((0, 0), (0, 0), (0, 2 * (h2p - h2)), (0, 0)))
     mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
     wm = _stem_pack_w(w).astype(xc.dtype)
-    y = _stem_fwd_call(xc, mp, wm, b.reshape(1, co).astype(xc.dtype))
+    # The kernels store/load the 8-aligned TRUE width (w2s), not the
+    # lane-padded bw: no XLA pad/slice of the stem boundary arrays.
+    w2s = w2 + (-w2) % 8
+    y = _stem_fwd_call(xc, mp, wm, b.reshape(1, co).astype(xc.dtype), w2s)
     return y[:, :h2, :w2, :], xc
 
 
@@ -2769,8 +2804,9 @@ def _stem_bwd_impl(res, g):
     gc = g  # NHWC (N, H2, W2, Co) — the dw/dx kernels load it natively
     h2 = gc.shape[1]
     h2p = hp // 2
-    if bw != w2 or h2p != h2:
-        gc = jnp.pad(gc, ((0, 0), (0, h2p - h2), (0, bw - w2), (0, 0)))
+    w2s = w2 + (-w2) % 8  # kernels zero-fill past w2s in VMEM themselves
+    if w2s != w2 or h2p != h2:
+        gc = jnp.pad(gc, ((0, 0), (0, h2p - h2), (0, w2s - w2), (0, 0)))
     mp = _stem_mp_matrix(w_img, bw, w2, xc.dtype)
     dw_acc, db = _stem_dw_call(xc, mp, gc)
     # rows (dy, c, dx) -> (4, 4, 3, Co) HWIO
