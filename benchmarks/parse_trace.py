@@ -39,6 +39,7 @@ CATEGORIES = [
     ("pallas conv1x1", "_conv1x1_chw"),
     ("pallas upsample", "_up2_chw"),
     ("pallas stem", "_stem_"),
+    ("pallas ssm embed", "ssm_embed"),
     ("layout copies", "%copy"),
     # CAUTION: name-based. XLA sometimes names a conv-rooted kOutput fusion
     # "convert_reduce_fusion" (the D's conv3 on the real batch lands here —
