@@ -180,6 +180,17 @@ def main() -> None:
     t0 = time.time()
     img = generate_canvas(G, gen_vars, jax.random.key(10), 1024, 1024, num_images=1)
     gen_1024_warm_s = time.time() - t0
+    # The f32 wire above ships the exact float canvas for the seam metrics;
+    # the PRODUCTION save path (sample.py) uses the u8 wire (quantized on
+    # device, 4x less D2H — the wire, not the device, bounds wall time
+    # through the tunnel). Time it separately so the headline reflects what
+    # a user pays.
+    generate_canvas(G, gen_vars, jax.random.key(11), 1024, 1024, num_images=1,
+                    wire="u8")  # compile
+    t0 = time.time()
+    generate_canvas(G, gen_vars, jax.random.key(12), 1024, 1024, num_images=1,
+                    wire="u8")
+    gen_1024_warm_u8_s = time.time() - t0
 
     from infinite_texture_gans_tpu.utils.metrics import adjacent_mse_baseline, seam_mse
 
@@ -259,6 +270,7 @@ def main() -> None:
             "patches_per_sec_per_chip": round(patches_per_sec, 2),
             "gen_1024_wall_s_cold": round(gen_1024_s, 3),
             "gen_1024_wall_s_warm": round(gen_1024_warm_s, 3),
+            "gen_1024_wall_s_warm_u8": round(gen_1024_warm_u8_s, 3),
             "gen_1024_streamed_warm_s": round(gen_1024_streamed_warm_s, 3),
             "seam_mse_1024": seam,
             "adjacent_mse_natural": natural,
