@@ -31,6 +31,7 @@ from infinite_texture_gans_tpu.data.datasets import (
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from infinite_texture_gans_tpu.utils.watchdog import StallWatchdog
 from infinite_texture_gans_tpu.train.checkpoint import (
     AsyncCheckpointer,
     load_checkpoint,
@@ -228,6 +229,7 @@ def train(args) -> None:
     def _flush_epoch_metrics(entry):
         e, names, packed_dev, batch_sizes = entry
         packed = jax.device_get(packed_dev)
+        watchdog.beat()  # a completed fetch is REAL device progress
         stacked = {n: packed[i] for i, n in enumerate(names)}
         d_run = g_run = 0.0
         for i, b_size in enumerate(batch_sizes):
@@ -250,6 +252,10 @@ def train(args) -> None:
         D_losses.append(d_run)
 
     print("Starting Training Loop...")
+    # Warns (stderr, once per episode) if the device stops making progress
+    # — a wedged remote-device connection blocks forever with no exception;
+    # the operator must probe/kill/--resume (utils/watchdog.py).
+    watchdog = StallWatchdog().start()
     try:
         for epoch in range(start_epoch, args.epochs):
             key, data_key, epoch_key = jax.random.split(key, 3)
@@ -363,8 +369,10 @@ def train(args) -> None:
             saver.wait()
         except Exception:
             pass
+        watchdog.stop()
         raise
     saver.wait()  # all submitted checkpoints on disk before train() returns
+    watchdog.stop()
 
 
 def _plot_losses(G_losses, D_losses, filename) -> None:
