@@ -170,6 +170,15 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                              '(~2.25x the canvas) in device memory; set a '
                              'small value (e.g. 4) to bound device memory '
                              'for very large canvases without --stream.')
+    parser.add_argument('--diag_lanes', type=int, default=None,
+                        help='batched-diagonal engine: run this many canvas '
+                             'rows in flight as one vmap batch (the single-'
+                             'chip wavefront, sampling/diag.py). Measured at '
+                             'device-time parity-to-slower vs the default '
+                             'sequential engine on v5e (docs/PERF.md); '
+                             'batching under bf16 also regroups floats, so '
+                             'its bytes differ at ~1 LSB scale. Omit for the '
+                             'default sequential schedule.')
     parser.add_argument('--platform', type=str, default='auto',
                         choices=['auto', 'cpu', 'tpu'],
                         help='pin the JAX platform (auto = ambient backend)')

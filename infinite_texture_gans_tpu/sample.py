@@ -78,17 +78,33 @@ def main():
         # uint8 wire: quantized on device with save_image's exact mapping
         # (byte-identical, tested) — 4x less D2H than shipping the float
         # canvas just to quantize it on the host.
-        img_u8 = generate_canvas(
-            netG,
-            variables,
-            key,
-            output_resolution_height=args_sample.output_resolution_height,
-            output_resolution_width=args_sample.output_resolution_width,
-            num_images=args_sample.batch,
-            progress=True,
-            row_group=args_sample.row_group,
-            wire="u8",
-        )
+        if getattr(args_sample, "diag_lanes", None):
+            from infinite_texture_gans_tpu.sampling.diag import (
+                generate_canvas_diag,
+            )
+
+            img_u8 = generate_canvas_diag(
+                netG,
+                variables,
+                key,
+                output_resolution_height=args_sample.output_resolution_height,
+                output_resolution_width=args_sample.output_resolution_width,
+                num_images=args_sample.batch,
+                lanes=args_sample.diag_lanes,
+                wire="u8",
+            )
+        else:
+            img_u8 = generate_canvas(
+                netG,
+                variables,
+                key,
+                output_resolution_height=args_sample.output_resolution_height,
+                output_resolution_width=args_sample.output_resolution_width,
+                num_images=args_sample.batch,
+                progress=True,
+                row_group=args_sample.row_group,
+                wire="u8",
+            )
         folder = os.path.dirname(args_sample.model_path)
         saving_path = os.path.join(folder, args_sample.output_name)
         print("The image is saved as:", saving_path)

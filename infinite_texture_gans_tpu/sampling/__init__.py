@@ -7,6 +7,7 @@ from infinite_texture_gans_tpu.sampling.latents import (
     slice_sub_maps,
     truncated_normal_z,
 )
+from infinite_texture_gans_tpu.sampling.diag import generate_canvas_diag
 from infinite_texture_gans_tpu.sampling.infinite import (
     generate_canvas,
     generate_one_pass,
@@ -29,6 +30,7 @@ __all__ = [
     "slice_sub_maps",
     "truncated_normal_z",
     "generate_canvas",
+    "generate_canvas_diag",
     "generate_one_pass",
     "sample_from_gen_patch_by_patch_train",
     "sample_from_gen",
