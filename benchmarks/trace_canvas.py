@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """Trace one warm canvas generation (sequential and/or diagonal engine).
 
-Usage: python benchmarks/trace_canvas.py [size] [lanes] [/tmp/itg_trace_canvas]
-  size   canvas edge in px (default 4096)
-  lanes  0 = sequential engine, N = diagonal engine with N lanes (default 0)
+Usage: python benchmarks/trace_canvas.py [size] [lanes] [dir] [fuse_up]
+  size     canvas edge in px (default 4096)
+  lanes    0 = sequential engine, N = diagonal engine with N lanes (default 0)
+  dir      trace dir (default /tmp/itg_trace_canvas)
+  fuse_up  'auto' (default) | 'all' | 'off' — generator fuse_up override
 Then:  PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python \
          python benchmarks/parse_trace.py <dir> 40
 """
@@ -24,8 +26,11 @@ def main() -> None:
     size = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     lanes = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     trace_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/itg_trace_canvas"
+    fuse = sys.argv[4] if len(sys.argv) > 4 else "auto"
 
     G, v, _ = load_generator_from_checkpoint("examples/241_300ep_ema.ckpt")
+    if fuse != G.fuse_up:
+        G = G.clone(fuse_up=fuse)
     key = jax.random.key(5)
 
     if lanes:

@@ -170,6 +170,16 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                              '(~2.25x the canvas) in device memory; set a '
                              'small value (e.g. 4) to bound device memory '
                              'for very large canvases without --stream.')
+    parser.add_argument('--fuse_up', type=str, default='auto',
+                        choices=['auto', 'all', 'off'],
+                        help="subpixel-fused up-conv kernels at inference: "
+                             "'all' runs every chw-tail block's upsample->BN"
+                             "->ReLU->conv1 as one half-res Pallas kernel "
+                             "with half-res halo caches (faster big-canvas "
+                             "generation; output differs from the default "
+                             "engine at float-regrouping ~1 LSB scale). "
+                             "'auto' (default) keeps inference on the "
+                             "unfused bit-exact-oracle kernels.")
     parser.add_argument('--diag_lanes', type=int, default=None,
                         help='batched-diagonal engine: run this many canvas '
                              'rows in flight as one vmap batch (the single-'

@@ -61,20 +61,24 @@ def generator_channel_plan(G_ch: int, n_layers_G: int) -> List[tuple[int, int]]:
 
 
 def generator_site_specs(
-    G_ch: int = 52, base_res: int = 4, n_layers_G: int = 6, img_ch: int = 3
+    G_ch: int = 52, base_res: int = 4, n_layers_G: int = 6, img_ch: int = 3,
+    fused_blocks: frozenset = frozenset(),
 ) -> List[SiteSpec]:
     """Halo site inventory for stateful inference, in forward-call order.
 
     One site per local-padded conv: two per residual block plus the final
     conv. The start conv has no site (z arrives pre-padded with real values,
-    reference models/layers.py:163-166).
+    reference models/layers.py:163-166). Blocks in ``fused_blocks`` run the
+    subpixel-fused up-conv at eval (fuse_up='all'): their conv1 halo is
+    cached at HALF resolution (ops/pallas_conv.py: chw_upconv_halo_step).
     """
     del img_ch
     specs: List[SiteSpec] = []
     plan = generator_channel_plan(G_ch, n_layers_G)
     for i, (cin, cout) in enumerate(plan, start=1):
         res = base_res * (2 ** (i - 1))
-        specs.append(SiteSpec(f"block{i}.conv1", res, cin))
+        res1 = res // 2 if i in fused_blocks else res
+        specs.append(SiteSpec(f"block{i}.conv1", res1, cin))
         specs.append(SiteSpec(f"block{i}.conv2", res, cout))
     final_res = base_res * (2 ** (n_layers_G - 1))
     final_chin = plan[-1][1]
@@ -117,11 +121,14 @@ class ResidualPatchGenerator(nn.Module):
     # 'off'. See ops/pallas_conv.py for why small-channel layers are run
     # channels-major.
     chw_tail: str = "auto"
-    # 'auto' | 'off': subpixel-fused upsample+conv1 inside the chw-tail
-    # ResBlocks (ops/pallas_conv.py: upconv3x3_chw_p) — TRAINING path only
-    # (BN mode, halo-free); the fused 2x2 combined kernels regroup float
-    # additions, so eval/one-pass/halo engines keep the unfused kernels and
-    # their bit-exact oracle relationships (tests/test_halo.py).
+    # 'auto' | 'all' | 'off': subpixel-fused upsample+conv1 inside the
+    # chw-tail ResBlocks (ops/pallas_conv.py: upconv3x3_chw_p). 'auto' fuses
+    # the TRAINING path only (BN mode, halo-free) — the fused 2x2 combined
+    # kernels regroup float additions, so eval/one-pass/halo engines keep
+    # the unfused kernels and their bit-exact oracle relationships
+    # (tests/test_halo.py). 'all' additionally fuses EVAL, including the
+    # stateful raster engine (half-res halo sites, chw_upconv_halo_step) —
+    # output differs from the unfused engine at float-regrouping scale.
     fuse_up: str = "auto"
 
     def _chw_gate(self, i: int, cin: int) -> bool:
@@ -139,6 +146,22 @@ class ResidualPatchGenerator(nn.Module):
         if not capable or i <= 3 or cin > 64:
             return False
         return self.chw_tail == "on" or jax.default_backend() == "tpu"
+
+    def eval_fuse_blocks(self) -> frozenset:
+        """Blocks whose upsample->BN->ReLU->conv1 runs subpixel-FUSED at
+        eval (``fuse_up='all'``) — determines which conv1 halo sites are
+        cached at half resolution. Mirrors the ``fuse`` gate in
+        ``__call__`` so ``site_specs`` can never disagree with the forward.
+        """
+        if self.fuse_up != "all" or self.type_norm != "BN":
+            return frozenset()
+        plan = generator_channel_plan(self.G_ch, self.n_layers_G)
+        fused, is_chw = set(), False
+        for i, (cin, _) in enumerate(plan, start=1):
+            is_chw = is_chw or self._chw_gate(i, cin)
+            if is_chw and i > 1:
+                fused.add(i)
+        return frozenset(fused)
 
     def emits_chw(self) -> bool:
         """True when the channels-major Pallas tail will run, i.e. when
@@ -211,6 +234,7 @@ class ResidualPatchGenerator(nn.Module):
         # w_true). The raster halo engine stays on the unpadded path.
         pad_carry = halo is None
         w_true = None
+        eval_fuse = self.eval_fuse_blocks()
         for i, (cin, cout) in enumerate(plan, start=1):
             if not is_chw and chw_gate(i, cin):
                 if want_stats:
@@ -233,14 +257,21 @@ class ResidualPatchGenerator(nn.Module):
             # Subpixel fusion: the block's upsample -> BN -> ReLU -> conv1
             # collapses into ONE half-resolution Pallas kernel (see fuse_up
             # attr); the shortcut's conv1x1 commutes with nearest-2x and its
-            # upsample fuses with the residual add. Training only.
+            # upsample fuses with the residual add. Training under
+            # 'auto'/'all'; eval (one-pass AND raster halo) under 'all'.
             fuse = (
                 is_chw
                 and i > 1
                 and self.type_norm == "BN"
-                and want_stats
-                and w_true is not None
                 and self.fuse_up != "off"
+                and (
+                    (want_stats and w_true is not None)
+                    or (
+                        not train
+                        and i in eval_fuse
+                        and (halo is not None or w_true is not None)
+                    )
+                )
             )
             if i > 1 and not fuse:
                 if is_chw and w_true is not None:
@@ -273,7 +304,7 @@ class ResidualPatchGenerator(nn.Module):
                 pad_w_true=w_true,
                 fuse_up=fuse,
             )
-            if fuse:
+            if fuse and w_true is not None:
                 w_true *= 2  # the block upsampled internally
             cur_stats = out_stats if is_chw else None
             if halo is not None:
@@ -356,4 +387,7 @@ class ResidualPatchGenerator(nn.Module):
         return (2 ** (self.n_layers_G - 1)) * self.base_res
 
     def site_specs(self) -> List[SiteSpec]:
-        return generator_site_specs(self.G_ch, self.base_res, self.n_layers_G, self.img_ch)
+        return generator_site_specs(
+            self.G_ch, self.base_res, self.n_layers_G, self.img_ch,
+            fused_blocks=self.eval_fuse_blocks(),
+        )

@@ -24,6 +24,7 @@ from infinite_texture_gans_tpu.ops.padding import (
 )
 from infinite_texture_gans_tpu.ops.pallas_conv import (
     chw_halo_step,
+    chw_upconv_halo_step,
     conv1x1_chw,
     conv1x1_chw_add,
     conv1x1_chw_add_p,
@@ -33,6 +34,7 @@ from infinite_texture_gans_tpu.ops.pallas_conv import (
     conv3x3_chw_p,
     conv3x3_chw_stats,
     upconv3x3_chw_p,
+    upsample2_chw,
     upsample2_chw_add_p,
 )
 
@@ -211,7 +213,15 @@ class ConvLP(nn.Module):
             scale, shift, relu = chw_fold
             kernel, bias = RawConvParams(self.features, 3, name="conv")(x.shape[1])
             if fuse_up_w_true is not None:
-                # subpixel-fused upsample+conv (training path; x at HALF
+                if halo is not None:
+                    # fused stateful raster step (fuse_up='all' eval): the
+                    # site caches conv1's halo at HALF resolution (see
+                    # ops/pallas_conv.py: chw_upconv_halo_step)
+                    return chw_upconv_halo_step(
+                        x, kernel, bias, scale, shift, relu,
+                        self.outer_padding, halo, pos, self.gh, self.gw,
+                    )
+                # subpixel-fused upsample+conv (one-pass path; x at HALF
                 # resolution, fuse_up_w_true = its true width)
                 out = upconv3x3_chw_p(
                     x, kernel, bias, scale, shift, relu, self.outer_padding,
@@ -574,26 +584,30 @@ class ResBlockGenerator(nn.Module):
                     pad_w_true=pad_w_true,
                 )
             elif fuse_up:
-                # Subpixel-fused path (training, BN): x arrives at HALF
-                # resolution (pad_w_true = half true width). up2 -> bn1 ->
-                # relu -> conv1 run as ONE half-res kernel (nearest-2x
-                # commutes with the per-channel affine and ReLU;
-                # ops/pallas_conv.py: upconv3x3_chw_p); the shortcut's
+                # Subpixel-fused path (BN): x arrives at HALF resolution
+                # (pad_w_true = half true width on the padded-carry path,
+                # None on the raster halo path). up2 -> bn1 -> relu -> conv1
+                # run as ONE half-res kernel (nearest-2x commutes with the
+                # per-channel affine and ReLU; ops/pallas_conv.py:
+                # upconv3x3_chw_p / chw_upconv_halo_step); the shortcut's
                 # conv1x1 also commutes with up2 and runs at half res, its
-                # upsample fusing with the residual add + output stats
-                # (upsample2_chw_add_p). Same variable tree as the unfused
-                # branch.
-                assert want and pad_w_true is not None and halo1 is None
+                # upsample fusing with the residual add (+ output stats when
+                # training: upsample2_chw_add_p). Same variable tree as the
+                # unfused branch. Training gets `want`; eval (fuse_up='all')
+                # runs the same kernels with folded running stats.
+                assert pad_w_true is not None or halo1 is not None
+                half_w = pad_w_true if pad_w_true is not None else x.shape[3]
                 sc1, sh1 = BNFold(name="bn1")(
                     x, train=train, stats=in_stats, w_true=pad_w_true
                 )
-                out, halo1, st1 = ConvLP(
+                r1 = ConvLP(
                     self.features, name="conv1", **convlp_kw
                 )(
-                    x, halo1, pos, chw_fold=(sc1, sh1, True), want_stats=True,
-                    pad_w_true=pad_w_true, fuse_up_w_true=pad_w_true,
+                    x, halo1, pos, chw_fold=(sc1, sh1, True), want_stats=want,
+                    pad_w_true=pad_w_true, fuse_up_w_true=half_w,
                 )
-                full_w = 2 * pad_w_true
+                (out, halo1), st1 = (r1[:2], r1[2] if want else None)
+                full_w = 2 * pad_w_true if pad_w_true is not None else None
                 sc2, sh2 = BNFold(name="bn2")(
                     out, train=train, stats=st1, w_true=full_w
                 )
@@ -603,15 +617,23 @@ class ResBlockGenerator(nn.Module):
                 )
                 if learnable_sc:
                     k3, b3 = RawConvParams(self.features, 1, name="conv3")(c_in)
-                    s_half = conv1x1_chw_p(x, k3, b3, pad_w_true)
+                    s_half = (conv1x1_chw_p(x, k3, b3, half_w)
+                              if pad_w_true is not None
+                              else conv1x1_chw(x, k3, b3))
                 else:
                     s_half = x
                 fill = "zeros" if self.outer_padding == "constant" else "edge"
-                y, s1, s2 = upsample2_chw_add_p(
-                    s_half, out, pad_w_true, fill, True
-                )
-                cnt = y.shape[0] * y.shape[2] * full_w
-                return y, halo1, halo2, (s1, s2, cnt)
+                if pad_w_true is None:
+                    # raster halo path: unpadded widths; nearest-2x Pallas
+                    # upsample + XLA residual add
+                    y = out + upsample2_chw(s_half)
+                    return y, halo1, halo2, None
+                out_up = upsample2_chw_add_p(s_half, out, pad_w_true, fill, want)
+                if want:
+                    y, s1, s2 = out_up
+                    cnt = y.shape[0] * y.shape[2] * full_w
+                    return y, halo1, halo2, (s1, s2, cnt)
+                return out_up, halo1, halo2, None
             else:
                 sc1, sh1 = BNFold(name="bn1")(
                     x, train=train, stats=in_stats, w_true=pad_w_true

@@ -1863,6 +1863,263 @@ def _upconv_bwd_rule(relu, outer_padding, w_true_h, want_stats, res, cts):
 upconv3x3_chw_p.defvjp(_upconv_fwd_rule, _upconv_bwd_rule)
 
 
+# --------------------------------------------------------------------------
+# Fused up-conv, HALO-CACHE variant (eval raster engine, `fuse_up='all'`).
+#
+# The cross-step halo protocol scales down by exactly 2 for a fused block's
+# conv1: nearest-2x duplicates rows/columns, so the full-res halo row the
+# unfused site caches (merged row (gh-1)*hp_f - 1, an ODD index since hp_f
+# is even) IS half-res row (gh-1)*hp_h - 1, and likewise the v column and
+# the row-buffer read offset ((gw-1)*wp_f*col = 2*(gw-1)*wp_h*col). The
+# fused site therefore stores POST-NORM values at HALF resolution with the
+# same formulas — 4x less halo state — and the kernel injects them exactly
+# like `_conv_halo_kernel` does, on the half-res slab.
+
+
+def _upconv_halo_kernel(relu: bool, zeros_mode: bool, bh: int, w_true_h: int,
+                        c: int, co: int, use_rstrip: bool, chunked: bool):
+    def kernel(*refs):
+        refs = list(refs)
+        x_ref, top_ref, bot_ref = refs[:3]
+        refs = refs[3:]
+        inj_ref = refs.pop(0) if chunked else None
+        l_ref = refs.pop(0)
+        r_ref = refs.pop(0) if use_rstrip else None
+        wp_ref, b_ref, sc_ref, sh_ref, e0_ref, e1_ref, y_ref = refs
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
+        wh = x_ref.shape[3]
+        wf = e0_ref.shape[1]
+        if chunked:
+            top_pn = jnp.where(
+                t == 0, inj_ref[0, :, 0, :], top_ref[0][:, 7, :]
+            ).astype(x_ref.dtype)
+        else:
+            top_pn = _halo_row_at(top_ref, t)
+        slab = _norm_slab(
+            x_ref[0], top_pn, _bot_row(bot_ref, t, nt, chunked), sc_ref,
+            sh_ref, relu, zeros_mode, t, nt, bh, w_true_h, halo_top=True,
+        )
+        # restore the injected (already-normed) top row for the first block
+        row = lax.broadcasted_iota(jnp.int32, (1, bh + 2, 1), 1)
+        slab = jnp.where(
+            jnp.logical_and(row == 0, t == 0),
+            top_pn[:, None, :].astype(slab.dtype), slab,
+        ).astype(slab.dtype)
+        s = _rows_stack(slab, bh)  # (3C, BH*Wh)
+        p = lax.dot_general(
+            wp_ref[:, :], s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (8Co, BH*Wh)
+
+        def plane(di, dj):
+            base = ((di * 2 + dj) * 2) * co
+            p0 = p[base : base + co].reshape(co, bh, wh)
+            p1 = p[base + co : base + 2 * co].reshape(co, bh, wh)
+            if dj == 0:
+                # left halo column: the (di, dj=0, s=0) tap block (pairs
+                # x[j-1]) against the row-stacked strip — same fill-matmul
+                # pattern as `_conv_halo_kernel`
+                fill = lax.dot_general(
+                    wp_ref[base : base + co, :], l_ref[0],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(co, bh, 1)
+                return _shift_r(p0, fill) + p1
+            if use_rstrip:  # w_true_h == Wh: right halo via its own strip
+                fill = lax.dot_general(
+                    wp_ref[base + co : base + 2 * co, :], r_ref[0],
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(co, bh, 1)
+            else:  # lane-padded: the slab pad columns carry the halo
+                fill = jnp.zeros_like(p1[:, :, -1:])
+            return p0 + _shift_l(p1, fill)
+
+        rows = []
+        for di in (0, 1):
+            r = lax.dot_general(
+                plane(di, 0).reshape(co * bh, wh), e0_ref[:, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ) + lax.dot_general(
+                plane(di, 1).reshape(co * bh, wh), e1_ref[:, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            )  # (Co*BH, Wf)
+            rows.append((r.reshape(co, bh * wf) + b_ref[:, :]).reshape(co, bh, wf))
+        y = jnp.concatenate(
+            [rows[0][:, :, None, :], rows[1][:, :, None, :]], axis=2
+        ).reshape(co, 2 * bh, wf)
+        y_ref[0, :, :, :] = y.astype(y_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "outer_padding"))
+def _upconv3x3_fwd_halo(x, wp, b, scale, shift, e0, e1, top_pn, lstack,
+                        rstack, *, relu: bool, outer_padding: str):
+    """Half-res x (N,C,H,Wh_true) raw; top_pn (N,C,Wh_pad) POST-norm
+    half-res top halo row (canvas cols 0..Wh-1, corner at col w_true_h when
+    lane-padded); lstack/rstack (N, H, 3C) POST-norm half-res row-stacked
+    halo column strips. Output (N, Co, 2H, Wf) lane-padded full-res."""
+    w_true_h = x.shape[3]
+    zeros_mode = outer_padding == "constant"
+    x = _pad_w_lanes(x, "zeros" if zeros_mode else "edge")
+    if x.shape[3] != w_true_h and scale.shape[-1] == w_true_h:
+        scale = _pad_w_lanes(scale, "edge")
+        shift = _pad_w_lanes(shift, "edge")
+    n, c, h, wh = x.shape
+    co = wp.shape[0] // 8
+    wf = e0.shape[1]
+    bh = _pick_bh(h, wh, 6 * c + 26 * co, x.dtype.itemsize)
+    chunked = h % 8 == 0
+    use_rstrip = w_true_h == wh
+    kernel = _upconv_halo_kernel(relu, zeros_mode, bh, w_true_h, c, co,
+                                 use_rstrip, chunked)
+    strip_spec = pl.BlockSpec(
+        (1, bh, 3 * c), lambda n, t: (n, t, 0), memory_space=pltpu.VMEM
+    )
+    nt = h // bh
+    if chunked:
+        top_spec, bot_spec = _chunk_specs(c, bh, wh, h)
+        inj_spec = pl.BlockSpec(
+            (1, c, 1, wh), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+        in_specs = [
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            top_spec,
+            bot_spec,
+            inj_spec,
+            strip_spec,
+        ]
+        args = [x, x, x, top_pn[:, :, None, :], lstack]
+    else:
+        tops, bots = _halo_rows(x, bh)
+        tops = jnp.concatenate([top_pn[:, :, None, :], tops[:, :, 1:]], axis=2)
+        in_specs = [
+            pl.BlockSpec((1, c, bh, wh), lambda n, t: (n, 0, t, 0),
+                         memory_space=pltpu.VMEM),
+            _halo_spec(c, nt, wh),
+            _halo_spec(c, nt, wh),
+            strip_spec,
+        ]
+        args = [x, tops, bots, lstack]
+    if use_rstrip:
+        in_specs.append(strip_spec)
+        args.append(rstack)
+    in_specs += [
+        pl.BlockSpec((8 * co, 3 * c), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((co, 1), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((c, 1, wh), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wh, wf), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((wh, wf), lambda n, t: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args += [wp, b, scale, shift, e0, e1]
+    return pl.pallas_call(
+        kernel,
+        grid=(n, h // bh),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, co, 2 * bh, wf), lambda n, t: (n, 0, t, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, co, 2 * h, wf), x.dtype),
+        interpret=_interpret(),
+    )(*args)
+
+
+def chw_upconv_halo_step(x, w, b, scale, shift, relu, outer_padding, site,
+                         pos, gh, gw):
+    """One stateful raster step of the FUSED up-conv (see block comment
+    above): ``x`` (N, C, Hm_h, Wm_h) is the RAW half-res block input,
+    ``site`` the HALF-RES SiteState (same NHWC buffer format and
+    ``finalize_row`` semantics as the unfused engine, just at patch_res/2 —
+    see generator_site_specs). Returns (full-res y (N, Co, 2Hm_h, 2Wm_h),
+    updated site). Reference semantics: models/layers.py:78-143 applied to
+    the conv1 input of an upsample->BN->ReLU->conv block
+    (models/layers.py:301-311)."""
+    from infinite_texture_gans_tpu.ops.padding import SiteState
+
+    n, c, hm, wm = x.shape
+    hp, wp_ = hm // gh, wm // gw
+    co = w.shape[-1]
+    zeros = outer_padding == "constant"
+
+    def pn(a):  # post-norm domain for the tiny injection/cache arrays
+        a = a * scale.reshape(1, c, 1, 1) + shift.reshape(1, c, 1, 1)
+        return jnp.maximum(a, 0.0).astype(x.dtype) if relu else a.astype(x.dtype)
+
+    # --- assemble post-norm half-res halo pieces -------------------------
+    v_pn = jnp.transpose(site.v, (0, 3, 1, 2)).astype(x.dtype)  # (N,C,Hm,1)
+    left = jnp.where(
+        pos.first_col,
+        jnp.zeros_like(v_pn) if zeros else pn(x[:, :, :, :1]),
+        v_pn,
+    )
+    right = jnp.zeros_like(left) if zeros else pn(x[:, :, :, -1:])
+
+    offset = (gw - 1) * wp_ * pos.col
+    read = lax.dynamic_slice_in_dim(site.row_read, offset, wm + 2, axis=2)
+    read_chw = jnp.transpose(read, (0, 3, 1, 2)).astype(x.dtype)  # (N,C,1,Wm+2)
+    if zeros:
+        own_top = jnp.zeros_like(read_chw)
+    else:  # replicate: [left[0], pn(x row 0), right[0]]
+        own_top = jnp.concatenate(
+            [left[:, :, :1, :], pn(x[:, :, :1, :]), right[:, :, :1, :]], axis=3
+        )
+    top = jnp.where(pos.first_row, own_top, read_chw)  # (N, C, 1, Wm+2)
+
+    # column strips spanning padded rows -1..Hm (post-norm)
+    def strips(corner_t, col, corner_b):
+        full = jnp.concatenate([corner_t, col[:, :, :, 0], corner_b], axis=2)
+        stk = jnp.concatenate(
+            [full[:, :, dy : dy + hm] for dy in range(3)], axis=1
+        )  # (N, 3C, Hm)
+        return jnp.transpose(stk, (0, 2, 1))  # (N, Hm, 3C): Mosaic block rule
+
+    bl = jnp.zeros_like(left[:, :, -1, :]) if zeros else left[:, :, -1, :]
+    br = jnp.zeros_like(right[:, :, -1, :]) if zeros else right[:, :, -1, :]
+    lstack = strips(top[:, :, 0, :1], left, bl)
+    rstack = strips(top[:, :, 0, -1:], right, br)
+
+    # top row for the kernel: canvas cols 0..Wm-1, lane-padded with the
+    # top-right corner placed at column Wm (see _upconv3x3_fwd_halo)
+    top_k = top[:, :, 0, 1 : wm + 1]
+    pad = (-wm) % 128
+    if pad:
+        top_k = jnp.pad(top_k, ((0, 0), (0, 0), (0, pad)))
+        top_k = top_k.at[:, :, wm].set(top[:, :, 0, wm + 1])
+
+    wp_k = _pack_w_upconv(w).astype(x.dtype)
+    wh_pad = _round_up_128(wm)
+    sc = _bcast_cw(scale, c, wm).astype(x.dtype)
+    sh = _bcast_cw(shift, c, wm).astype(x.dtype)
+    wf = _round_up_128(2 * wm)
+    fill = "zeros" if zeros else "edge"
+    e0, e1 = _up_scatter_matrices(wh_pad, wm, wf, fill, x.dtype)
+    y = _upconv3x3_fwd_halo(
+        x, wp_k, b.reshape(co, 1).astype(x.dtype), sc, sh, e0, e1, top_k,
+        lstack, rstack, relu=relu, outer_padding=outer_padding,
+    )[..., : 2 * wm]
+
+    # --- cache updates (post-norm half-res, NHWC buffer format) ----------
+    v_new = pn(x[:, :, :, (gw - 1) * wp_ - 1 : (gw - 1) * wp_])
+    row_slice = pn(x[:, :, (gh - 1) * hp - 1 : (gh - 1) * hp, :])
+    row_write = lax.dynamic_update_slice_in_dim(
+        site.row_write,
+        jnp.transpose(row_slice, (0, 2, 3, 1)).astype(site.row_write.dtype),
+        offset + 1,
+        axis=2,
+    )
+    new_site = SiteState(
+        v=jnp.transpose(v_new, (0, 2, 3, 1)).astype(site.v.dtype),
+        row_read=site.row_read,
+        row_write=row_write,
+    )
+    return y, new_site
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def conv1x1_chw_p(x, w, b, w_true: int):
     """Plain padded-carry 1x1 conv (no residual, no stats): the fused-up

@@ -44,6 +44,8 @@ def main():
     apply_platform(args_sample)  # before any backend touch
     netG, variables, args = load_generator_from_checkpoint(args_sample.model_path)
     print(args)
+    if getattr(args_sample, "fuse_up", "auto") != netG.fuse_up:
+        netG = netG.clone(fuse_up=args_sample.fuse_up)
 
     seed = args_sample.seed if args_sample.seed is not None else 0
     key = jax.random.key(seed)

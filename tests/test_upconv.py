@@ -264,3 +264,112 @@ def test_conv1x1_p_matches_plain():
     )
     np.testing.assert_allclose(np.asarray(gf[1]), np.asarray(gp[1]), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gf[2]), np.asarray(gp[2]), rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# fuse_up='all': the fused up-conv at EVAL, including the stateful raster
+# engine (half-res conv1 halo sites; ops/pallas_conv.py:
+# chw_upconv_halo_step).
+
+
+def _fuse_all_gen(outer_padding="replicate", fuse_up="all"):
+    from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+
+    return ResidualPatchGenerator(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=5, attention=False, img_ch=3,
+        type_norm="BN", padding_mode="local", outer_padding=outer_padding,
+        chw_tail="on", fuse_up=fuse_up,
+    )
+
+
+def _init_eval_vars(gen):
+    from infinite_texture_gans_tpu.sampling import latents
+
+    z0 = latents.build_train_z(jax.random.key(1), 1, gen.z_dim, gen.base_res, 3, 3)
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    return {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+
+def test_fuse_all_halves_conv1_site_specs():
+    gen = _fuse_all_gen()
+    assert gen.eval_fuse_blocks() == frozenset({4, 5})
+    specs = {s.name: s for s in gen.site_specs()}
+    # blocks 4, 5 fuse: conv1 halo cached at HALF the conv-input resolution
+    assert specs["block4.conv1"].patch_res == specs["block4.conv2"].patch_res // 2
+    assert specs["block5.conv1"].patch_res == specs["block5.conv2"].patch_res // 2
+    # non-chw blocks keep full-res sites; SSM never fuses
+    assert specs["block3.conv1"].patch_res == specs["block3.conv2"].patch_res
+    assert _fuse_all_gen().clone(type_norm="SSM").eval_fuse_blocks() == frozenset()
+
+
+@pytest.mark.parametrize("outer", ["replicate", "constant"])
+def test_fuse_all_halo_scan_matches_one_pass(outer):
+    """The fused raster engine's correctness anchor: patch-by-patch with
+    half-res conv1 halo caches must equal the fused one-pass over the whole
+    canvas (the same oracle relation the unfused engine is held to,
+    tests/test_chw_tail.py::test_halo_scan_chw_matches_one_pass)."""
+    from infinite_texture_gans_tpu.sampling import latents
+    from infinite_texture_gans_tpu.sampling.infinite import (
+        generate_canvas,
+        generate_one_pass,
+    )
+
+    gen = _fuse_all_gen(outer)
+    variables = _init_eval_vars(gen)
+    P = gen.patch_resolution
+    z5 = latents.build_z_full(jax.random.key(2), 1, gen.z_dim, gen.base_res, 5, 7)
+    pbp = generate_canvas(
+        gen, variables, jax.random.key(2), 5 * P, 7 * P, num_images=1, z_full=z5
+    )
+    onep = np.asarray(generate_one_pass(gen, variables, z5, None, 5, 7))
+    np.testing.assert_allclose(pbp, onep, atol=2e-5, rtol=1e-4)
+
+
+def test_fuse_all_eval_matches_unfused_engine():
+    """fuse_up='all' must reproduce the default engine's canvas up to the
+    float regrouping of the combined 2x2 kernels (same variables)."""
+    from infinite_texture_gans_tpu.sampling import latents
+    from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+
+    gen_f = _fuse_all_gen()
+    gen_u = _fuse_all_gen(fuse_up="auto")
+    variables = _init_eval_vars(gen_u)
+    P = gen_u.patch_resolution
+    z5 = latents.build_z_full(jax.random.key(3), 1, 16, 4, 5, 5)
+    a = generate_canvas(
+        gen_u, variables, jax.random.key(3), 5 * P, 5 * P, num_images=1, z_full=z5
+    )
+    b = generate_canvas(
+        gen_f, variables, jax.random.key(3), 5 * P, 5 * P, num_images=1, z_full=z5
+    )
+    np.testing.assert_allclose(a, b, atol=5e-4, rtol=1e-3)
+
+
+def test_fuse_all_streamed_matches_in_memory(tmp_path):
+    """The streamed PNG engine under fuse_up='all' (fused kernels + half-res
+    conv1 halo sites through the band scan) writes byte-identical pixels to
+    the fused in-memory engine."""
+    from PIL import Image
+
+    from infinite_texture_gans_tpu.sampling import latents
+    from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
+    from infinite_texture_gans_tpu.sampling.stream import (
+        _to_uint8,
+        generate_canvas_streamed,
+    )
+
+    gen = _fuse_all_gen()
+    variables = _init_eval_vars(gen)
+    P = gen.patch_resolution
+    out_h, out_w = 4 * P - 13, 4 * P - 7  # multi-band, ragged crop
+    z = latents.build_z_full(jax.random.key(5), 1, gen.z_dim, gen.base_res, 7, 7)
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    path = generate_canvas_streamed(
+        gen, variables, jax.random.key(0), out_h, out_w,
+        str(tmp_path / "c.png"), z_full=z,
+    )
+    img = np.asarray(Image.open(path))
+    assert img.shape == (out_h, out_w, 3)
+    np.testing.assert_array_equal(img, _to_uint8(ref[0]))
