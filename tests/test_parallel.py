@@ -422,3 +422,56 @@ def test_wavefront_rejects_oversized_canvas():
             output_resolution_width=4000 * P,
             mesh=mesh,
         )
+
+
+def test_wavefront_fused_eval_matches_sequential():
+    """Wavefront with fuse_up='all': the fused up-conv halo steps (half-res
+    conv1 sites) must behave identically inside the band scan under
+    shard_map — both engines fused, same oracle relation as the unfused
+    chw wavefront test above."""
+    from infinite_texture_gans_tpu.parallel.wavefront import (
+        generate_canvas_wavefront,
+    )
+
+    gen = tiny_gen(chw_tail="on", fuse_up="all")
+    assert gen.eval_fuse_blocks() == frozenset({4})
+    z0 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    mesh = make_mesh("data:8")
+    P_res = gen.patch_resolution
+    out_h, out_w = 5 * P_res, 7 * P_res
+    z = build_z_full(jax.random.key(12), 1, 8, 4, 5, 7)
+
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    out = generate_canvas_wavefront(
+        gen, variables, jax.random.key(0), out_h, out_w, mesh,
+        num_images=1, z_full=z,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_diag_fused_eval_matches_sequential():
+    """Batched-diagonal engine x fuse_up='all' (the half-res pending/halo
+    buffers ride the lane axis)."""
+    from infinite_texture_gans_tpu.sampling.diag import generate_canvas_diag
+
+    gen = tiny_gen(chw_tail="on", fuse_up="all")
+    z0 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {k: dict(variables)[k] for k in ("params", "batch_stats")}
+
+    P_res = gen.patch_resolution
+    out_h, out_w = 5 * P_res, 7 * P_res
+    z = build_z_full(jax.random.key(12), 1, 8, 4, 5, 7)
+    ref = generate_canvas(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1, z_full=z
+    )
+    out = generate_canvas_diag(
+        gen, variables, jax.random.key(0), out_h, out_w, num_images=1,
+        lanes=2, z_full=z,
+    )
+    np.testing.assert_allclose(out, ref, atol=5e-5, rtol=1e-4)
