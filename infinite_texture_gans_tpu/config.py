@@ -180,6 +180,12 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
                              "engine at float-regrouping ~1 LSB scale). "
                              "'auto' (default) keeps inference on the "
                              "unfused bit-exact-oracle kernels.")
+    parser.add_argument('--export_pth', type=str, default=None,
+                        help='instead of sampling, export the loaded '
+                             'generator as a reference-format PyTorch .pth '
+                             'checkpoint at this path (loads in the '
+                             'reference repo\'s test_sample.py unchanged; '
+                             'utils/torch_export.py)')
     parser.add_argument('--diag_lanes', type=int, default=None,
                         help='batched-diagonal engine: run this many canvas '
                              'rows in flight as one vmap batch (the single-'

@@ -44,6 +44,21 @@ def main():
     apply_platform(args_sample)  # before any backend touch
     netG, variables, args = load_generator_from_checkpoint(args_sample.model_path)
     print(args)
+    if getattr(args_sample, "export_pth", None):
+        from infinite_texture_gans_tpu.train.checkpoint import load_checkpoint
+        from infinite_texture_gans_tpu.utils.torch_export import export_generator_pth
+
+        ckpt = load_checkpoint(args_sample.model_path)
+        meta = ckpt.get("meta", {})
+        export_generator_pth(
+            args_sample.export_pth, variables, args,
+            epoch=meta.get("epoch"), gloss=meta.get("Gloss"),
+            dloss=meta.get("Dloss"), seed=meta.get("seed"),
+            d_variables=ckpt.get("netD_variables"),
+            d_norm_layer=getattr(args, "norm_layer_D", None),
+        )
+        print("Exported reference .pth checkpoint:", args_sample.export_pth)
+        return
     if getattr(args_sample, "fuse_up", "auto") != netG.fuse_up:
         netG = netG.clone(fuse_up=args_sample.fuse_up)
 

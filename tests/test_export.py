@@ -1,0 +1,159 @@
+"""torch -> JAX -> torch round trip of the checkpoint exporter
+(utils/torch_export.py): the exported state_dict must load into the
+reference generator with ``strict=True`` and equal the original
+bit-for-bit, and an exported ``.pth`` must read back through BOTH loaders
+(the reference's dict contract and this framework's ``load_checkpoint``).
+Skipped when the reference checkout is not present."""
+
+import sys
+
+import numpy as np
+import pytest
+
+from tests.conftest import REFERENCE_DIR, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference checkout not available"
+)
+
+if reference_available():
+    sys.path.insert(0, REFERENCE_DIR)
+    import utils as _ref_utils  # noqa: F401  (resolves the ref circular import)
+
+from infinite_texture_gans_tpu.utils.torch_export import (
+    export_generator_pth,
+    export_generator_state_dict,
+    export_patch_discriminator_state_dict,
+)
+from infinite_texture_gans_tpu.utils.torch_import import (
+    import_generator,
+    import_patch_discriminator,
+)
+
+CFG = dict(
+    z_dim=16, G_ch=8, base_res=4, n_layers_G=4, attention=True, img_ch=3,
+    leak=0.0, SN=False, map_dim=2, padding_mode="local",
+    outer_padding="replicate", num_patches_h=3, num_patches_w=3,
+)
+
+
+def _torch_gen(type_norm):
+    import torch
+
+    from models.generators import ResidualPatchGenerator as TorchG
+
+    torch.manual_seed(0)
+    tg = TorchG(**{**CFG, "type_norm": type_norm})
+    tg.eval()
+    return tg
+
+
+@pytest.mark.parametrize("type_norm", ["BN", "SSM"])
+def test_state_dict_round_trip(type_norm):
+    import torch
+
+    tg = _torch_gen(type_norm)
+    original = tg.state_dict()
+    variables = import_generator(
+        original, n_layers_G=4, type_norm=type_norm, attention=True
+    )
+    exported = export_generator_state_dict(variables)
+
+    assert set(exported) == set(original)
+    for k in original:
+        np.testing.assert_array_equal(
+            exported[k].numpy(), original[k].numpy(), err_msg=k
+        )
+
+    # and it must LOAD: strict=True against a fresh reference generator
+    tg2 = _torch_gen(type_norm)
+    tg2.load_state_dict(exported, strict=True)
+
+
+def test_pth_file_round_trip(tmp_path):
+    import torch
+
+    from infinite_texture_gans_tpu.config import prepare_parser
+    from infinite_texture_gans_tpu.train.checkpoint import (
+        load_generator_from_checkpoint,
+    )
+
+    tg = _torch_gen("BN")
+    variables = import_generator(
+        tg.state_dict(), n_layers_G=4, type_norm="BN", attention=True
+    )
+    args = prepare_parser().parse_args([])
+    for k, v in dict(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=4, img_ch=3, map_dim=2,
+        attention=True,
+    ).items():
+        setattr(args, k, v)
+
+    path = str(tmp_path / "exported.pth")
+    export_generator_pth(
+        path, variables, args, epoch=7, gloss=[1.0, 0.5], dloss=[0.9], seed=3
+    )
+
+    # reference contract: a dict with netG_state_dict + args (+ metadata)
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    assert set(ckpt) == {"netG_state_dict", "args", "epoch", "Gloss", "Dloss", "seed"}
+    assert ckpt["args"].G_ch == 8 and ckpt["epoch"] == 7
+
+    # full circle: this framework's own loader reads the exported file back
+    gen, variables2, args2 = load_generator_from_checkpoint(path)
+    assert args2.n_layers_G == 4
+    flat1 = {
+        k: np.asarray(v)
+        for k, v in sorted(_flatten(variables).items())
+    }
+    flat2 = {k: np.asarray(v) for k, v in sorted(_flatten(variables2).items())}
+    assert set(flat1) == set(flat2)
+    for k in flat1:
+        np.testing.assert_array_equal(flat1[k], flat2[k], err_msg=k)
+
+
+@pytest.mark.parametrize(
+    "SN,norm_layer", [(False, None), (False, "batch"), (False, "instance"),
+                      (True, None)]
+)
+def test_discriminator_state_dict_round_trip(SN, norm_layer):
+    import torch
+
+    from models.discriminators import PatchDiscriminator as TorchD
+
+    torch.manual_seed(0)
+    td = TorchD(img_ch=3, base_ch=16, n_layers_D=3, kw=4, SN=SN,
+                norm_layer=norm_layer)
+    td.eval()
+    original = td.state_dict()
+    variables = import_patch_discriminator(
+        original, n_layers_D=3, norm_layer=norm_layer
+    )
+    exported = export_patch_discriminator_state_dict(
+        variables, norm_layer=norm_layer
+    )
+    assert set(exported) == set(original)
+    for k in original:
+        np.testing.assert_array_equal(
+            exported[k].numpy(), original[k].numpy(), err_msg=k
+        )
+    torch.manual_seed(1)
+    td2 = TorchD(img_ch=3, base_ch=16, n_layers_D=3, kw=4, SN=SN,
+                 norm_layer=norm_layer)
+    td2.load_state_dict(exported, strict=True)
+
+
+def test_spectral_variables_rejected():
+    with pytest.raises(ValueError, match="spectral"):
+        export_generator_state_dict({"spectral": {}, "params": {}})
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key))
+        else:
+            out[key] = v
+    return out
