@@ -24,6 +24,55 @@ import time
 import numpy as np
 
 
+def _supervise() -> int:
+    """Run the benchmark in a CHILD process with a per-attempt timeout and
+    retries. A single process's axon connection can wedge forever (threads
+    parked at ~0 CPU) while FRESH connections work fine (CLAUDE.md) — a
+    hang the in-process backend probe cannot catch once the run is past
+    init. Each retry is a new process (new connection), and the persistent
+    XLA compilation cache makes retries converge even when an attempt was
+    killed mid-compile on a cold host: every compile finished before the
+    kill is a disk cache hit for the next attempt."""
+    attempts = int(os.environ.get("ITG_BENCH_ATTEMPTS", "3"))
+    per_attempt_s = float(os.environ.get("ITG_BENCH_ATTEMPT_S", "1200"))
+    env = dict(os.environ, ITG_BENCH_CHILD="1")
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=per_attempt_s, env=env, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench attempt {i + 1}/{attempts}: no result in "
+                f"{per_attempt_s:.0f}s (hung connection or cold compile) — "
+                "retrying in a fresh process",
+                file=sys.stderr,
+            )
+            continue
+        line = next(
+            (l for l in r.stdout.splitlines() if l.startswith("{")), None
+        )
+        if r.returncode == 0 and line is not None:
+            print(line)
+            return 0
+        print(
+            f"bench attempt {i + 1}/{attempts} failed (rc={r.returncode}):\n"
+            f"{r.stderr[-2000:]}",
+            file=sys.stderr,
+        )
+    print(json.dumps({
+        "metric": "train_steps_per_sec_exp1",
+        "value": 0.0,
+        "unit": "steps/s",
+        "vs_baseline": 0.0,
+        "error": f"no attempt finished within {per_attempt_s:.0f}s x "
+                 f"{attempts} (tunnel hang or failure) — see the last "
+                 "BENCH_r*.json / docs/PERF.md for measured numbers",
+    }))
+    return 1
+
+
 def _wait_for_backend(max_wait_s: int = 900) -> bool:
     """The axon tunnel occasionally goes down, and a backend-init attempt
     then HANGS (not errors) — which would hang this whole benchmark. Probe
@@ -294,4 +343,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("ITG_BENCH_CHILD") == "1":
+        main()
+    else:
+        sys.exit(_supervise())
