@@ -143,6 +143,37 @@ def test_discriminator_state_dict_round_trip(SN, norm_layer):
     td2.load_state_dict(exported, strict=True)
 
 
+@pytest.mark.parametrize("type_norm", ["BN", "SSM"])
+def test_from_scratch_init_exports(type_norm):
+    """A flax-INITIALIZED generator (not an import round trip) must export
+    to the exact reference key set and strict-load — proves the from-scratch
+    variable tree matches the importer-built tree the other tests use."""
+    import jax
+
+    from infinite_texture_gans_tpu.models.generator import (
+        ResidualPatchGenerator,
+    )
+    from infinite_texture_gans_tpu.sampling.latents import (
+        build_maps_full,
+        build_z_full,
+    )
+
+    gen = ResidualPatchGenerator(
+        z_dim=16, G_ch=8, base_res=4, n_layers_G=4, attention=True, img_ch=3,
+        type_norm=type_norm, map_dim=2, padding_mode="local",
+        outer_padding="replicate",
+    )
+    k = jax.random.key(0)
+    z = build_z_full(k, 1, 16, 4, 3, 3)
+    maps = build_maps_full(k, 1, 2, 4, 4, 3, 3) if type_norm == "SSM" else None
+    variables = gen.init(k, z, maps, train=False)
+    sd = export_generator_state_dict(variables)
+
+    tg = _torch_gen(type_norm)
+    assert set(sd) == set(tg.state_dict())
+    tg.load_state_dict(sd, strict=True)
+
+
 def test_spectral_variables_rejected():
     with pytest.raises(ValueError, match="spectral"):
         export_generator_state_dict({"spectral": {}, "params": {}})
