@@ -42,13 +42,16 @@ def main():
 
     args_sample = prepare_sample_parser().parse_args()
     apply_platform(args_sample)  # before any backend touch
-    netG, variables, args = load_generator_from_checkpoint(args_sample.model_path)
+    from infinite_texture_gans_tpu.train.checkpoint import load_checkpoint
+
+    ckpt = load_checkpoint(args_sample.model_path)
+    netG, variables, args = load_generator_from_checkpoint(
+        args_sample.model_path, ckpt=ckpt
+    )
     print(args)
     if getattr(args_sample, "export_pth", None):
-        from infinite_texture_gans_tpu.train.checkpoint import load_checkpoint
         from infinite_texture_gans_tpu.utils.torch_export import export_generator_pth
 
-        ckpt = load_checkpoint(args_sample.model_path)
         meta = ckpt.get("meta", {})
         export_generator_pth(
             args_sample.export_pth, variables, args,

@@ -205,15 +205,27 @@ def load_netG(path: str, ema: Optional[bool] = None):
     return load_generator_from_checkpoint(path, ema)
 
 
-def load_generator_from_checkpoint(path: str, ema: Optional[bool] = None):
+def load_generator_from_checkpoint(
+    path: str, ema: Optional[bool] = None, *, ckpt: Optional[Dict[str, Any]] = None
+):
     """Rebuild a generator (module + variables) from any checkpoint,
     reproducing the reference's config-from-checkpoint flow
     (test_sample.py:51-62). Returns (gen_module, variables, args_namespace).
-    """
+
+    Only the MODULE is rebuilt SN-off (reference test_sample.py:55-58); the
+    returned variables are the checkpoint's raw tree — for a ``--spec_norm_G``
+    training checkpoint that includes the ``spectral`` u/v collection, which
+    the SN-off module ignores at apply time and ``utils.torch_export`` maps
+    back to torch SN buffers.
+
+    ``ckpt``: optionally pass an already-:func:`load_checkpoint`-ed dict to
+    avoid deserializing the file twice (e.g. the CLI's ``--export_pth`` path
+    also needs the raw optimizer/D trees)."""
     from infinite_texture_gans_tpu.config import dict_to_args, generator_kwargs
     from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 
-    ckpt = load_checkpoint(path)
+    if ckpt is None:
+        ckpt = load_checkpoint(path)
     args = dict_to_args(ckpt["meta"]["args"])
     # inference always rebuilds with SN off and the default 3x3 grid
     # (reference test_sample.py:55-58)

@@ -11,16 +11,21 @@ be taken BACK to the reference's PyTorch tooling unchanged. Round-trip
 
 Conversions (each the inverse of the importer's): HWIO conv kernels ->
 OIHW; ``scale``/``bias`` + ``batch_stats`` -> BN ``weight``/``bias``/
-``running_mean``/``running_var`` (+ ``num_batches_tracked = 0``, which
-torch's ``state_dict`` includes and ``strict`` loading requires); SSM's
-``mlp_shared`` conv -> the reference's ``mlp_shared.0`` (first entry of its
-``nn.Sequential(conv, relu)``, reference models/layers.py:220-222).
+``running_mean``/``running_var`` (+ ``num_batches_tracked``, which torch's
+``state_dict`` includes and ``strict`` loading requires — restored from the
+``torch_extras`` side collection the importer captured, 0 for models that
+never came from torch); SSM's ``mlp_shared`` conv -> the reference's
+``mlp_shared.0`` (first entry of its ``nn.Sequential(conv, relu)``,
+reference models/layers.py:220-222).
 
-Spectral-norm variables are rejected: the reference's own inference path
-rebuilds the generator with SN off and uses the raw ``weight_orig`` as the
-weight (reference test_sample.py:32-41, 55-58), which is exactly what a
-plain export of an SN-off rebuild produces — export from the eval/EMA
-variables (``load_generator_from_checkpoint`` already rebuilds SN-off).
+Spectral-norm state (a ``spectral`` collection of u/v power-iteration
+vectors — present both for ``--spec_norm_G`` training checkpoints, whose
+``netG_variables`` carry the raw collections, and for imported reference SN
+checkpoints) exports as torch's SN buffer set ``weight_orig``/``weight_u``/
+``weight_v`` per conv, with ``weight_v`` permuted from this framework's
+HWIO-flat order back to torch's OIHW-flat order — the true inverse of the
+importer, for G exactly as for D. (The reference's own inference path then
+rebuilds SN-off and consumes ``weight_orig``, test_sample.py:32-41, 55-58.)
 """
 
 from __future__ import annotations
@@ -45,15 +50,40 @@ def _t(a):
     return torch.from_numpy(a)
 
 
-def _conv(sd: Dict[str, Any], params: Dict[str, Any], tkey: str) -> None:
-    """params {kernel HWIO, bias?} -> ``tkey.weight`` (OIHW) [+ ``.bias``]."""
+def _conv(
+    sd: Dict[str, Any],
+    params: Dict[str, Any],
+    tkey: str,
+    sn: Optional[Dict[str, Any]] = None,
+) -> None:
+    """params {kernel HWIO, bias?} -> ``tkey.weight`` (OIHW) [+ ``.bias``];
+    with spectral state ``sn`` ({u, v}), the torch SN buffer set
+    ``weight_orig``/``weight_u``/``weight_v`` instead (``v`` permuted from
+    HWIO-flat back to torch's OIHW-flat order, inverse of the importer)."""
     kernel = np.asarray(params["kernel"])
-    sd[f"{tkey}.weight"] = _t(kernel.transpose(3, 2, 0, 1))
+    if sn is not None:
+        sd[f"{tkey}.weight_orig"] = _t(kernel.transpose(3, 2, 0, 1))
+        if "u" in sn:
+            sd[f"{tkey}.weight_u"] = _t(sn["u"])
+        if "v" in sn:
+            v = np.asarray(sn["v"])
+            kh, kw, i, _ = kernel.shape
+            sd[f"{tkey}.weight_v"] = _t(
+                v.reshape(kh, kw, i).transpose(2, 0, 1).reshape(-1)
+            )
+    else:
+        sd[f"{tkey}.weight"] = _t(kernel.transpose(3, 2, 0, 1))
     if "bias" in params:
         sd[f"{tkey}.bias"] = _t(params["bias"])
 
 
-def _bn(sd, tkey: str, params: Optional[Dict[str, Any]], stats: Dict[str, Any]):
+def _bn(
+    sd,
+    tkey: str,
+    params: Optional[Dict[str, Any]],
+    stats: Dict[str, Any],
+    extras: Optional[Dict[str, Any]] = None,
+):
     import torch
 
     if params is not None:  # affine BN
@@ -61,49 +91,66 @@ def _bn(sd, tkey: str, params: Optional[Dict[str, Any]], stats: Dict[str, Any]):
         sd[f"{tkey}.bias"] = _t(params["bias"])
     sd[f"{tkey}.running_mean"] = _t(stats["mean"])
     sd[f"{tkey}.running_var"] = _t(stats["var"])
-    sd[f"{tkey}.num_batches_tracked"] = torch.tensor(0, dtype=torch.int64)
+    nbt = (extras or {}).get("num_batches_tracked", 0)
+    sd[f"{tkey}.num_batches_tracked"] = torch.tensor(int(nbt), dtype=torch.int64)
+
+
+def _node(tree: Optional[Dict[str, Any]], *path) -> Optional[Dict[str, Any]]:
+    """Walk ``path`` through a nested dict; None wherever absent."""
+    for k in path:
+        if not isinstance(tree, dict):
+            return None
+        tree = tree.get(k)
+    return tree  # type: ignore[return-value]
 
 
 def export_generator_state_dict(variables: Dict[str, Any]) -> Dict[str, Any]:
     """Generator variables pytree -> reference ``ResidualPatchGenerator``
     state_dict (loads with ``strict=True``). The block topology (conv3
     presence, bn3, SSM vs BN, attention) is read off the tree itself, so any
-    supported configuration exports without extra arguments."""
-    if "spectral" in variables:
-        raise ValueError(
-            "export_generator_state_dict: variables carry spectral-norm "
-            "state; export the SN-off eval rebuild instead "
-            "(load_generator_from_checkpoint already produces one)"
-        )
+    supported configuration exports without extra arguments. A ``spectral``
+    collection (``--spec_norm_G`` training checkpoints, or imported reference
+    SN checkpoints) exports each covered conv as torch SN buffers — in the
+    reference, SN=True normalizes EVERY generator conv incl. SSM embeds and
+    attention (reference models/generators.py:59-83, models/layers.py:220-243)."""
     params = variables["params"]
     stats = variables.get("batch_stats", {})
+    spectral = variables.get("spectral", {})
+    extras = variables.get("torch_extras", {})
     sd: Dict[str, Any] = {}
 
-    _conv(sd, params["start"]["conv"], "start.conv")
+    _conv(sd, params["start"]["conv"], "start.conv", _node(spectral, "start", "conv"))
     blocks = sorted(
         (k for k in params if k.startswith("block")), key=lambda k: int(k[5:])
     )
     for blk in blocks:
         bp, bs = params[blk], stats.get(blk, {})
-        _conv(sd, bp["conv1"]["conv"], f"{blk}.conv1.conv")
-        _conv(sd, bp["conv2"]["conv"], f"{blk}.conv2.conv")
+        bsn, bex = spectral.get(blk, {}), extras.get(blk, {})
+        _conv(sd, bp["conv1"]["conv"], f"{blk}.conv1.conv", _node(bsn, "conv1", "conv"))
+        _conv(sd, bp["conv2"]["conv"], f"{blk}.conv2.conv", _node(bsn, "conv2", "conv"))
         if "conv3" in bp:
-            _conv(sd, bp["conv3"], f"{blk}.conv3")
+            _conv(sd, bp["conv3"], f"{blk}.conv3", _node(bsn, "conv3"))
         for bn in ("bn1", "bn2", "bn3"):
             if bn in bp and "mlp_shared" in bp[bn]:  # SSM site
-                _bn(sd, f"{blk}.{bn}.bn", None, bs[bn]["bn"])
-                _conv(sd, bp[bn]["mlp_shared"], f"{blk}.{bn}.mlp_shared.0")
-                _conv(sd, bp[bn]["embed"], f"{blk}.{bn}.embed")
+                _bn(sd, f"{blk}.{bn}.bn", None, bs[bn]["bn"], _node(bex, bn, "bn"))
+                _conv(
+                    sd, bp[bn]["mlp_shared"], f"{blk}.{bn}.mlp_shared.0",
+                    _node(bsn, bn, "mlp_shared"),
+                )
+                _conv(sd, bp[bn]["embed"], f"{blk}.{bn}.embed", _node(bsn, bn, "embed"))
             elif bn in bp:  # plain BN site
-                _bn(sd, f"{blk}.{bn}", bp[bn], bs[bn])
+                _bn(sd, f"{blk}.{bn}", bp[bn], bs[bn], _node(bex, bn))
     if "attention" in params:
         ap = params["attention"]["attn"]
         for part in ("theta", "phi", "g", "o"):
-            _conv(sd, ap[part], f"attention.{part}")
+            _conv(
+                sd, ap[part], f"attention.{part}",
+                _node(spectral, "attention", "attn", part),
+            )
         sd["attention.gamma"] = _t(ap["gamma"])
     if "bn" in params:  # final BN (BN mode only)
-        _bn(sd, "bn", params["bn"], stats["bn"])
-    _conv(sd, params["final"]["conv"], "final.conv")
+        _bn(sd, "bn", params["bn"], stats["bn"], _node(extras, "bn"))
+    _conv(sd, params["final"]["conv"], "final.conv", _node(spectral, "final", "conv"))
     return sd
 
 
@@ -121,40 +168,25 @@ def export_patch_discriminator_state_dict(
     params = variables["params"]
     stats = variables.get("batch_stats", {})
     spectral = variables.get("spectral", {})
+    extras = variables.get("torch_extras", {})
     sd: Dict[str, Any] = {}
-
-    def conv_entry(name: str, tkey: str) -> None:
-        p = params[name]
-        kernel = np.asarray(p["kernel"])
-        if name in spectral:
-            sd[f"{tkey}.weight_orig"] = _t(kernel.transpose(3, 2, 0, 1))
-            sn = spectral[name]
-            if "u" in sn:
-                sd[f"{tkey}.weight_u"] = _t(sn["u"])
-            if "v" in sn:
-                v = np.asarray(sn["v"])
-                kh, kw, i, _ = kernel.shape
-                sd[f"{tkey}.weight_v"] = _t(
-                    v.reshape(kh, kw, i).transpose(2, 0, 1).reshape(-1)
-                )
-        else:
-            sd[f"{tkey}.weight"] = _t(kernel.transpose(3, 2, 0, 1))
-        if "bias" in p:
-            sd[f"{tkey}.bias"] = _t(p["bias"])
 
     n_layers_D = sum(
         1 for k in params if k.startswith("conv") and k != "conv_out"
     )
     per = 3 if norm_layer else 2
     idx = 0
-    conv_entry("conv0", f"model.{idx}")
+    _conv(sd, params["conv0"], f"model.{idx}", spectral.get("conv0"))
     idx += 2  # conv, lrelu
     for n in range(1, n_layers_D):
-        conv_entry(f"conv{n}", f"model.{idx}")
+        _conv(sd, params[f"conv{n}"], f"model.{idx}", spectral.get(f"conv{n}"))
         if norm_layer == "batch":
-            _bn(sd, f"model.{idx + 1}", params[f"norm{n}"], stats[f"norm{n}"])
+            _bn(
+                sd, f"model.{idx + 1}", params[f"norm{n}"], stats[f"norm{n}"],
+                extras.get(f"norm{n}"),
+            )
         idx += per
-    conv_entry("conv_out", f"model.{idx}")
+    _conv(sd, params["conv_out"], f"model.{idx}", spectral.get("conv_out"))
     return sd
 
 

@@ -39,6 +39,7 @@ class _TreeBuilder:
         self.params: Dict[str, Any] = {}
         self.batch_stats: Dict[str, Any] = {}
         self.spectral: Dict[str, Any] = {}
+        self.torch_extras: Dict[str, Any] = {}
 
     def _set(self, root, path, value):
         d = root
@@ -72,6 +73,17 @@ class _TreeBuilder:
             self._set(self.params, (*path, "bias"), _np(sd[f"{tkey}.bias"]))
         self._set(self.batch_stats, (*path, "mean"), _np(sd[f"{tkey}.running_mean"]))
         self._set(self.batch_stats, (*path, "var"), _np(sd[f"{tkey}.running_var"]))
+        if f"{tkey}.num_batches_tracked" in sd:
+            # torch's BN counter has no JAX consumer, but it must survive a
+            # torch -> jax -> torch round trip (a trained reference ckpt has
+            # count > 0; resetting it would skew momentum=None averaging if
+            # torch training were resumed). Carried in a side collection the
+            # flax modules ignore; torch_export restores it.
+            self._set(
+                self.torch_extras,
+                (*path, "num_batches_tracked"),
+                int(_np(sd[f"{tkey}.num_batches_tracked"])),
+            )
 
     def scalar(self, sd, tkey, *path):
         self._set(self.params, path, _np(sd[tkey]))
@@ -82,6 +94,8 @@ class _TreeBuilder:
             out["batch_stats"] = self.batch_stats
         if self.spectral:
             out["spectral"] = self.spectral
+        if self.torch_extras:
+            out["torch_extras"] = self.torch_extras
         return out
 
 
