@@ -39,7 +39,7 @@ from infinite_texture_gans_tpu.train.checkpoint import (
 )
 from infinite_texture_gans_tpu.train.train_step import (
     create_train_state,
-    dispatch_chunk,
+    dispatch_plan,
     make_train_step,
     make_train_superstep,
 )
@@ -199,10 +199,10 @@ def train(args) -> None:
     spd = getattr(args, "steps_per_dispatch", 0) or 0
     if args.profile_dir:
         spd = 1  # keep the profiler trace to a few steps
-    k_dispatch = (
-        dispatch_chunk(steps_per_epoch, 128 if spd == 0 else spd)
+    k_dispatch, k_remainder = (
+        dispatch_plan(steps_per_epoch, 128 if spd == 0 else spd)
         if device_sampler is not None
-        else 1
+        else (1, 0)
     )
     superstep = None
     if k_dispatch > 1:
@@ -215,7 +215,10 @@ def train(args) -> None:
             batch_size=args.batch_size,
             **step_kw,
         )
-        print(f"steps per dispatch: {k_dispatch}")
+        print(
+            f"steps per dispatch: {k_dispatch}"
+            + (f" (+ one {k_remainder}-step remainder chunk)" if k_remainder else "")
+        )
 
     profiled = False
     saver = AsyncCheckpointer()
@@ -258,7 +261,14 @@ def train(args) -> None:
     watchdog = StallWatchdog().start()
     try:
         for epoch in range(start_epoch, args.epochs):
-            key, data_key, epoch_key = jax.random.split(key, 3)
+            # Per-epoch keys derive from (root key, epoch index), NOT a
+            # sequentially-advanced chain: a run resumed at epoch k draws
+            # exactly the keys the uninterrupted run would have drawn
+            # (deterministic-by-seed restart, SURVEY.md §5; tested
+            # resumed ≡ uninterrupted in tests/test_train.py).
+            data_key, epoch_key = jax.random.split(
+                jax.random.fold_in(key, epoch)
+            )
             step_keys = jax.random.split(epoch_key, steps_per_epoch)
             # Metrics stay on device during the epoch (a float() per step would
             # force a host sync and serialize dispatch); one block at epoch end.
@@ -266,8 +276,17 @@ def train(args) -> None:
             batch_sizes = []
             if superstep is not None:
                 crop_keys = jax.random.split(data_key, steps_per_epoch)
-                for ci in range(steps_per_epoch // k_dispatch):
-                    sl = slice(ci * k_dispatch, (ci + 1) * k_dispatch)
+                n_full = steps_per_epoch // k_dispatch
+                chunks = [
+                    slice(ci * k_dispatch, (ci + 1) * k_dispatch)
+                    for ci in range(n_full)
+                ]
+                if k_remainder:
+                    # the remainder chunk re-enters the SAME jitted superstep
+                    # with (remainder,)-length key arrays — jit compiles that
+                    # second scan shape once and every epoch reuses it
+                    chunks.append(slice(n_full * k_dispatch, steps_per_epoch))
+                for sl in chunks:
                     state, metrics = superstep(
                         state, device_sampler.img, crop_keys[sl], step_keys[sl]
                     )

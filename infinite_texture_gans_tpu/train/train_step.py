@@ -450,3 +450,20 @@ def dispatch_chunk(steps_per_epoch: int, cap: int = 128) -> int:
         if steps_per_epoch % k == 0:
             best = k
     return best
+
+
+def dispatch_plan(steps_per_epoch: int, cap: int = 128) -> Tuple[int, int]:
+    """Superstep dispatch plan: ``(K, remainder)``.
+
+    Prefers the largest divisor of ``steps_per_epoch`` <= ``cap`` (ONE
+    compiled scan shape, :func:`dispatch_chunk`). When that divisor is
+    degenerate (< cap//4 — e.g. a PRIME steps_per_epoch above the cap, where
+    the old behaviour silently fell back to per-step dispatch and the ~20%
+    superstep win vanished), the plan is ``steps // cap`` full chunks of
+    ``K = cap`` plus one remainder chunk of ``steps % cap``: a SECOND
+    compiled scan shape, compiled once and reused by every epoch."""
+    k = dispatch_chunk(steps_per_epoch, cap)
+    if cap <= 1 or steps_per_epoch <= 1 or k >= max(2, cap // 4):
+        return k, 0
+    k = min(cap, steps_per_epoch)
+    return k, steps_per_epoch % k

