@@ -24,29 +24,42 @@ import os as _os
 
 
 def host_cache_fingerprint() -> str:
-    """Short fingerprint of this host's CPU (ISA flags + arch).
+    """Short fingerprint of this host's CPU identity (arch + ISA flags +
+    vendor/family/model/name/stepping/cache size).
 
     XLA's persistent-cache key does NOT include the compile host's CPU
     target features, and XLA:CPU AOT executables compiled on a machine with
     a richer ISA abort (SIGABRT/SIGILL) when loaded on a host without it —
     observed when this environment migrated machines mid-round. Keying the
     cache directory by host CPU makes a migration start a fresh cache
-    instead of loading incompatible executables. TPU executables don't
-    depend on the host ISA, so the only cost is one cold compile per new
-    host."""
+    instead of loading incompatible executables. Flags alone proved too
+    weak a key (round 3: "machine features don't match" AOT loads slipped
+    through on a migrated host with identical flags), so the full identity
+    lines participate — XLA's CpuMachineFeatures compares more than the ISA.
+    TPU executables don't depend on the host ISA, so the only cost is one
+    cold compile per new host."""
+    ident = []
     try:
-        flags = ""
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                key = line.split(":", 1)[0].strip()
+                if key == "flags":
+                    ident.append(" ".join(sorted(line.split(":", 1)[1].split())))
+                elif key in (
+                    "vendor_id", "cpu family", "model", "model name",
+                    "stepping", "cache size",
+                ):
+                    ident.append(line.split(":", 1)[1].strip())
+                elif key == "power management":  # end of first processor block
                     break
     except OSError:
-        flags = ""
+        pass
     import hashlib
     import platform
 
-    return hashlib.md5((platform.machine() + ":" + flags).encode()).hexdigest()[:8]
+    return hashlib.md5(
+        (platform.machine() + ":" + "|".join(ident)).encode()
+    ).hexdigest()[:8]
 
 
 def _enable_persistent_compilation_cache() -> None:
