@@ -284,7 +284,11 @@ def main() -> None:
     # Trained-model seam check — the SELF-PROVING seam number (the fields
     # above use the bench's own 21-step net and measure the TPU
     # accumulation-noise floor instead; see seam_note). Runs when the
-    # bundled trained checkpoint is present.
+    # bundled trained checkpoint is present. The fused-up-conv eval engine
+    # (--fuse_up all) and the batched-diagonal engine (--diag_lanes) get
+    # their own trained seam ratios so a quality regression in either shows
+    # up in the driver artifact, not only in the CPU test suite
+    # (BENCH_SEAM_ENGINES=0 skips the two extra engine compiles).
     trained_seam = {}
     ckpt_path = os.path.join("examples", "241_300ep_ema.ckpt")
     if os.path.exists(ckpt_path):
@@ -300,6 +304,49 @@ def main() -> None:
             "seam_ratio_trained_1024": round(s_t / max(n_t, 1e-12), 4),
             "seam_mse_trained_1024": s_t,
             "adjacent_mse_natural_trained": n_t,
+        }
+        if os.environ.get("BENCH_SEAM_ENGINES", "1") != "0":
+            img_f = generate_canvas(
+                Gt.clone(fuse_up="all"), vt, jax.random.key(21), 1024, 1024,
+                num_images=1,
+            )
+            trained_seam["seam_ratio_trained_1024_fused"] = round(
+                seam_mse(img_f, Gt.patch_resolution, width=1)
+                / max(adjacent_mse_baseline(img_f), 1e-12), 4,
+            )
+            from infinite_texture_gans_tpu.sampling.diag import (
+                generate_canvas_diag,
+            )
+
+            img_d = generate_canvas_diag(
+                Gt, vt, jax.random.key(21), 1024, 1024, num_images=1
+            )
+            trained_seam["seam_ratio_trained_1024_diag"] = round(
+                seam_mse(img_d, Gt.patch_resolution, width=1)
+                / max(adjacent_mse_baseline(img_d), 1e-12), 4,
+            )
+
+    # MFU: measured throughput vs the analytic model-FLOPs bound
+    # (utils/flops.py; validated against XLA's HLO cost analysis). The
+    # canvas MFU is computed against the u8 warm WALL time, which through
+    # the axon tunnel is dominated by the ~15 MB/s wire D2H — it is the
+    # user-visible utilization, not the device's (docs/PERF.md carries the
+    # trace-based device roofline).
+    from infinite_texture_gans_tpu.utils import flops as Fl
+
+    step_flops = Fl.train_step_flops(
+        G, D, batch_size=args.batch_size, crop=args.random_crop,
+        num_images=args.num_images, disc_iters=args.disc_iters,
+    )
+    peak = Fl.peak_flops(jax.devices()[0], args.compute_dtype)
+    mfu = {}
+    if peak:
+        mfu = {
+            "train_step_model_tflops": round(step_flops / 1e12, 3),
+            "mfu_train_step": round(step_flops * steps_per_sec / peak, 4),
+            "mfu_canvas_1024_u8_wall": round(
+                Fl.canvas_flops(G, 1024, 1024) / gen_1024_warm_u8_s / peak, 4
+            ),
         }
 
     baseline = None
@@ -332,6 +379,7 @@ def main() -> None:
                 "seam/natural ratio is 1.02 at 4096^2 (README)."
             ),
             "engine_vs_onepass_max_err": engine_max_err,
+            **mfu,
             **trained_seam,
             "setup_compile_s": round(setup_s, 1),
             "backend": jax.default_backend(),

@@ -147,21 +147,28 @@ class MultipleImagesDataset:
             self._cache[name] = arr
         return self._cache[name]
 
+    def _preprocessed(self, name: str) -> np.ndarray:
+        """One image with the DETERMINISTIC part of the sample pipeline
+        applied (everything except the random crop): center crop + resize to
+        64 when --center_crop is set (reference datasets_classes.py:77-79),
+        else the raw (optionally --resize'd) image."""
+        arr = self._get(name)
+        if self.center_crop:
+            arr = _center_crop(arr, self.center_crop)
+            from PIL import Image
+
+            im = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
+            arr = np.asarray(im.resize((64, 64)))
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+        return arr
+
     def sample_batch(self, rng: np.random.Generator, batch_size: int) -> np.ndarray:
         names = rng.choice(self.files, size=batch_size)
         out = []
         for name in names:
-            arr = self._get(name)
-            if self.center_crop:
-                arr = _center_crop(arr, self.center_crop)
-                # reference resizes center crops to 64 (datasets_classes.py:77-79)
-                from PIL import Image
-
-                im = Image.fromarray(arr.squeeze(-1) if arr.shape[-1] == 1 else arr)
-                arr = np.asarray(im.resize((64, 64)))
-                if arr.ndim == 2:
-                    arr = arr[:, :, None]
-            elif self.random_crop:
+            arr = self._preprocessed(name)
+            if not self.center_crop and self.random_crop:
                 s = self.random_crop
                 h, w = arr.shape[:2]
                 top = int(rng.integers(0, h - s + 1))
@@ -169,6 +176,54 @@ class MultipleImagesDataset:
                 arr = arr[top : top + s, left : left + s]
             out.append(arr)
         return _normalize(np.stack(out))
+
+    def _stack_check(self):
+        """Decode (cached) + preprocess every image; validate that they can
+        share one padded device batch. Raises ValueError when they cannot
+        (mixed channel counts, or differing sizes with no crop to equalize
+        them) — callers fall back to the host path."""
+        arrs = [self._preprocessed(n) for n in self.files]
+        chans = {a.shape[-1] for a in arrs}
+        if len(chans) != 1:
+            raise ValueError(
+                f"images mix channel counts {sorted(chans)} — cannot stack "
+                "on device"
+            )
+        hs = np.array([a.shape[0] for a in arrs], np.int32)
+        ws = np.array([a.shape[1] for a in arrs], np.int32)
+        crop = None if self.center_crop else self.random_crop
+        if crop:
+            if int(hs.min()) < crop or int(ws.min()) < crop:
+                raise ValueError(
+                    f"--random_crop {crop} exceeds the smallest image "
+                    f"({int(hs.min())}x{int(ws.min())})"
+                )
+        elif int(hs.min()) != int(hs.max()) or int(ws.min()) != int(ws.max()):
+            raise ValueError(
+                "images differ in size and no crop equalizes them — "
+                "cannot stack on device"
+            )
+        return arrs, hs, ws
+
+    def stacked_nbytes(self) -> int:
+        """uint8 bytes of the padded device stack :meth:`stacked_images`
+        would build (also validates stackability)."""
+        arrs, hs, ws = self._stack_check()
+        return len(arrs) * int(hs.max()) * int(ws.max()) * arrs[0].shape[-1]
+
+    def stacked_images(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All images as ONE (N, Hmax, Wmax, C) uint8 array (zero-padded to
+        the largest per-axis extent) plus per-image valid extents (N,) int32
+        ``h_valid``/``w_valid`` — the device-resident form consumed by
+        :func:`sample_multi_crops_body`."""
+        arrs, hs, ws = self._stack_check()
+        stacked = np.zeros(
+            (len(arrs), int(hs.max()), int(ws.max()), arrs[0].shape[-1]),
+            np.uint8,
+        )
+        for i, a in enumerate(arrs):
+            stacked[i, : a.shape[0], : a.shape[1]] = a
+        return stacked, hs, ws
 
 
 class DeviceCropSampler:
@@ -200,11 +255,81 @@ class DeviceCropSampler:
         self.img = put(dataset.img)  # (H, W, C) uint8 on device
         self.random_crop = dataset.random_crop
 
+    kind = "single"
+
     def sample(self, key, batch_size: int):
-        crops, bcast = _device_samplers(self._out_sharding)
+        crops, bcast, _, _ = _device_samplers(self._out_sharding)
         if self.random_crop:
             return crops(self.img, key, self.random_crop, batch_size)
         return bcast(self.img, batch_size)
+
+
+class DeviceMultiImageSampler:
+    """Multi-image analog of :class:`DeviceCropSampler`: every decoded
+    (deterministically preprocessed) image lives in HBM once as one padded
+    uint8 stack, and a jitted body draws (image, crop) per batch element on
+    device — no per-step host sampling or H2D (which through a ~15 MB/s
+    dispatch link costs more per STEP than the whole dataset costs ONCE).
+    Enables the superstep for ``multiple_images`` runs.
+
+    ``img`` is the pytree handed to the superstep: ``(imgs, h_valid,
+    w_valid)`` for random-crop datasets, ``imgs`` alone for equalized
+    (center-crop/resize) datasets.
+    """
+
+    kind = "multi"
+
+    #: fall back to the host Prefetcher above this device footprint
+    MAX_DEVICE_MB = 1024.0
+
+    def __init__(self, dataset: "MultipleImagesDataset", device_put=None, mesh=None):
+        import jax
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+            self._out_sharding = NamedSharding(mesh, P("data"))
+        else:
+            put = device_put or jax.device_put
+            self._out_sharding = None
+        stacked, hs, ws = dataset.stacked_images()
+        self.imgs = put(stacked)
+        self.h_valid = put(hs)
+        self.w_valid = put(ws)
+        self.random_crop = None if dataset.center_crop else dataset.random_crop
+
+    @classmethod
+    def maybe_build(cls, dataset, device_put=None, mesh=None, max_mb=None):
+        """Build when the stacked dataset fits on device and the images can
+        share a batch; else return ``(None, reason)`` so the caller can fall
+        back to the host :class:`Prefetcher` with a visible notice."""
+        try:
+            stacked_mb = dataset.stacked_nbytes() / 2**20
+        except ValueError as e:
+            return None, str(e)
+        limit = cls.MAX_DEVICE_MB if max_mb is None else max_mb
+        if stacked_mb > limit:
+            return None, (
+                f"stacked dataset is {stacked_mb:.0f} MB on device "
+                f"(> {limit:.0f} MB cap)"
+            )
+        return cls(dataset, device_put=device_put, mesh=mesh), None
+
+    @property
+    def img(self):
+        if self.random_crop:
+            return (self.imgs, self.h_valid, self.w_valid)
+        return self.imgs
+
+    def sample(self, key, batch_size: int):
+        _, _, multi, pick = _device_samplers(self._out_sharding)
+        if self.random_crop:
+            return multi(
+                self.imgs, self.h_valid, self.w_valid, key,
+                self.random_crop, batch_size,
+            )
+        return pick(self.imgs, key, batch_size)
 
 
 def sample_crops_body(img, key, crop: int, batch: int):
@@ -241,6 +366,47 @@ def broadcast_norm_body(img, batch: int):
     return jnp.broadcast_to(x, (batch,) + x.shape)
 
 
+def sample_multi_crops_body(imgs, h_valid, w_valid, key, crop: int, batch: int):
+    """In-jit multi-image random-crop batch: (N, Hp, Wp, C) uint8 (padded
+    stack, :meth:`MultipleImagesDataset.stacked_images`) -> (batch, crop,
+    crop, C) float32 in [-1, 1]. Per batch element an (image index, top,
+    left) triple is drawn — tops/lefts bounded by THAT image's valid extent
+    (jax.random.randint broadcasts per-element maxval), so zero padding is
+    never sampled. Reference semantics: a random file choice + RandomCrop +
+    ToTensor + Normalize(0.5) per sample (datasets_classes.py:85-128).
+
+    THE single copy of the multi-image sample body — both
+    DeviceMultiImageSampler (per-step path) and train_step.
+    make_train_superstep trace this exact function (same guarantee as
+    :func:`sample_crops_body`)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    n, _, _, c = imgs.shape
+    ki, kh, kw = jax.random.split(key, 3)
+    idx = jax.random.randint(ki, (batch,), 0, n)
+    tops = jax.random.randint(kh, (batch,), 0, h_valid[idx] - crop + 1)
+    lefts = jax.random.randint(kw, (batch,), 0, w_valid[idx] - crop + 1)
+
+    def get(i, t, l):
+        return lax.dynamic_slice(imgs, (i, t, l, 0), (1, crop, crop, c))[0]
+
+    crops = jax.vmap(get)(idx, tops, lefts)
+    return crops.astype(jnp.float32) / 127.5 - 1.0
+
+
+def pick_images_body(imgs, key, batch: int):
+    """In-jit multi-image batch WITHOUT a random crop (center-crop/resize
+    datasets, where preprocessing already equalized every image): a random
+    image index per batch element, gathered + normalized on device."""
+    import jax
+    import jax.numpy as jnp
+
+    idx = jax.random.randint(key, (batch,), 0, imgs.shape[0])
+    return imgs[idx].astype(jnp.float32) / 127.5 - 1.0
+
+
 def _make_device_samplers(out_sharding=None):
     import functools
 
@@ -253,7 +419,13 @@ def _make_device_samplers(out_sharding=None):
     broadcast_norm = functools.partial(
         jax.jit, static_argnames=("batch",), **jit_kw
     )(broadcast_norm_body)
-    return sample_crops, broadcast_norm
+    sample_multi = functools.partial(
+        jax.jit, static_argnames=("crop", "batch"), **jit_kw
+    )(sample_multi_crops_body)
+    pick_images = functools.partial(
+        jax.jit, static_argnames=("batch",), **jit_kw
+    )(pick_images_body)
+    return sample_crops, broadcast_norm, sample_multi, pick_images
 
 
 @functools.lru_cache(maxsize=8)

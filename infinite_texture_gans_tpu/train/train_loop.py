@@ -24,6 +24,8 @@ from infinite_texture_gans_tpu.config import (
 )
 from infinite_texture_gans_tpu.data.datasets import (
     DeviceCropSampler,
+    DeviceMultiImageSampler,
+    MultipleImagesDataset,
     Prefetcher,
     SingleImageDataset,
     prepare_data,
@@ -175,20 +177,36 @@ def train(args) -> None:
             state = replicate(state, mesh)
         print(f"Resumed from {args.resume} at epoch {start_epoch}")
 
-    # single-image runs sample their crops ON DEVICE (the image is ~1MB;
-    # shipping 64x192^2 crops per step would be ~28MB of H2D each step);
+    # training batches are sampled ON DEVICE whenever the source data fits
+    # in HBM (single_image: the one ~1MB texture; multiple_images: the
+    # padded image stack up to DeviceMultiImageSampler.MAX_DEVICE_MB) —
+    # shipping 64x192^2 crops per step would be ~28MB of H2D each step;
     # under a mesh the sampler emits batches already sharded on their
     # leading axis (no per-step device-to-device re-shard)
-    device_sampler = (
-        DeviceCropSampler(
-            dataset,
-            mesh=mesh,
-            device_put=(None if device is jax.devices()[0] else
-                        (lambda x: jax.device_put(x, device))),
-        )
-        if isinstance(dataset, SingleImageDataset)
-        else None
+    sampler_put = (
+        None if device is jax.devices()[0]
+        else (lambda x: jax.device_put(x, device))
     )
+    if isinstance(dataset, SingleImageDataset):
+        device_sampler = DeviceCropSampler(
+            dataset, mesh=mesh, device_put=sampler_put
+        )
+    elif isinstance(dataset, MultipleImagesDataset):
+        device_sampler, why_not = DeviceMultiImageSampler.maybe_build(
+            dataset, mesh=mesh, device_put=sampler_put
+        )
+        if device_sampler is None:
+            print(
+                f"on-device multi-image sampling disabled ({why_not}); "
+                "falling back to the host prefetcher"
+            )
+        else:
+            print(
+                f"multi-image batches sampled on device "
+                f"({len(dataset.files)} images stacked in HBM)"
+            )
+    else:
+        device_sampler = None
 
     # K steps per device dispatch on the on-device-sampled path: the epoch
     # becomes a handful of lax.scan dispatches (crops sampled in-jit) instead
@@ -213,6 +231,7 @@ def train(args) -> None:
             tx_D,
             crop=(device_sampler.random_crop or None),
             batch_size=args.batch_size,
+            sampler=device_sampler.kind,
             **step_kw,
         )
         print(

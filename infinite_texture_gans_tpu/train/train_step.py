@@ -375,6 +375,7 @@ def make_train_superstep(
     crop: Optional[int],
     batch_size: int,
     mesh=None,
+    sampler: str = "single",
     **kw,
 ) -> Callable:
     """K train steps in ONE device dispatch.
@@ -402,6 +403,12 @@ def make_train_superstep(
     (reference datasets_classes.py:31-38). Under a ``mesh`` the sampled
     batch is pinned to the data axis, matching ``DeviceCropSampler``'s
     sharded output.
+
+    ``sampler='multi'`` (multiple_images runs): ``img`` is
+    ``DeviceMultiImageSampler.img`` — the padded ``(imgs, h_valid, w_valid)``
+    stack for random-crop datasets (per-step (image, crop) draws via
+    ``sample_multi_crops_body``), or the equalized image stack alone for
+    center-crop/resize datasets (``pick_images_body``).
     """
     impl = _make_step_impl(G, D, tx_G, tx_D, mesh=mesh, **kw)
     if mesh is not None:
@@ -412,15 +419,22 @@ def make_train_superstep(
     @functools.partial(jax.jit, donate_argnums=(0,))
     def superstep(state: TrainState, img: jnp.ndarray, crop_keys, step_keys):
         def sample_real(ck):
-            # the SHARED crop body (data.datasets.sample_crops_body): the
+            # the SHARED sample bodies (data.datasets): the
             # superstep-equals-per-step guarantee depends on both paths
             # tracing the same key derivation and arithmetic
             from infinite_texture_gans_tpu.data.datasets import (
                 broadcast_norm_body,
+                pick_images_body,
                 sample_crops_body,
+                sample_multi_crops_body,
             )
 
-            if crop:
+            if sampler == "multi":
+                if crop:
+                    real = sample_multi_crops_body(*img, ck, crop, batch_size)
+                else:
+                    real = pick_images_body(img, ck, batch_size)
+            elif crop:
                 real = sample_crops_body(img, ck, crop, batch_size)
             else:
                 real = broadcast_norm_body(img, batch_size)
