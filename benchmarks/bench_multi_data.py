@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Single-image vs multi-image on-device sampling throughput (Exp-1 shapes).
+
+Both paths run the SAME fused superstep (K steps per dispatch, crops
+sampled in-jit); the only difference is the in-jit sample body — one
+dynamic_slice per crop from the single (440, 614) texture vs an (image,
+top, left) draw from a padded N-image stack with per-image extent bounds
+(data/datasets.py: sample_crops_body vs sample_multi_crops_body). Verifies
+VERDICT r3 weak #2's "within ~20% of single-image" target for the lifted
+multiple_images path. Prints one JSON line per variant.
+
+Usage: python benchmarks/bench_multi_data.py [n_images] [K] [n_dispatches]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+from infinite_texture_gans_tpu.config import (
+    discriminator_kwargs, generator_kwargs, prepare_parser,
+)
+from infinite_texture_gans_tpu.data.synthetic import make_texture
+from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
+from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
+from infinite_texture_gans_tpu.train.train_step import (
+    create_train_state, make_train_superstep,
+)
+
+
+def main():
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    n_disp = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+    args = prepare_parser().parse_args([])
+    args.padding_mode = "local"; args.attention = True
+    args.n_layers_G = 6; args.n_layers_D = 4
+    args.spec_norm_D = True; args.smooth = True; args.ema = True
+    args.random_crop = 192; args.batch_size = 64; args.num_images = 8
+    args.compute_dtype = "bfloat16"
+
+    G = ResidualPatchGenerator(**generator_kwargs(args))
+    D = PatchDiscriminator(**discriminator_kwargs(args))
+    kw = dict(loss_type=args.loss, smooth=True, disc_iters=1, num_images=8,
+              ema_decay=0.999, use_ema=True)
+
+    # multi stack: n_images textures of slightly different sizes, padded
+    sizes = [(440 - 8 * i, 614 - 8 * i) for i in range(n_images)]
+    hmax, wmax = max(s[0] for s in sizes), max(s[1] for s in sizes)
+    stack = np.zeros((n_images, hmax, wmax, 3), np.uint8)
+    for i, (h, w) in enumerate(sizes):
+        stack[i, :h, :w] = make_texture(h, w, seed=i)
+    hs = np.array([s[0] for s in sizes], np.int32)
+    ws = np.array([s[1] for s in sizes], np.int32)
+
+    sources = {
+        "single": jax.device_put(stack[0, : sizes[0][0], : sizes[0][1]]),
+        "multi": (
+            jax.device_put(stack),
+            jax.device_put(hs),
+            jax.device_put(ws),
+        ),
+    }
+    for name, img in sources.items():
+        state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 125)
+        superstep = make_train_superstep(
+            G, D, tx_G, tx_D, crop=args.random_crop,
+            batch_size=args.batch_size, sampler=name if name == "multi" else "single",
+            **kw,
+        )
+        ck = jax.random.split(jax.random.key(1), (n_disp + 1) * k)
+        sk = jax.random.split(jax.random.key(2), (n_disp + 1) * k)
+        state, _ = superstep(state, img, ck[:k], sk[:k])  # warmup/compile
+        jax.block_until_ready(state.params_G)
+        t0 = time.time()
+        for d in range(1, n_disp + 1):
+            sl = slice(d * k, (d + 1) * k)
+            state, _ = superstep(state, img, ck[sl], sk[sl])
+        jax.block_until_ready(state.params_G)
+        dt = time.time() - t0
+        print(json.dumps({
+            "variant": name,
+            "n_images": 1 if name == "single" else n_images,
+            "steps_per_sec": round(n_disp * k / dt, 2),
+            "ms_per_step": round(1e3 * dt / (n_disp * k), 3),
+        }))
+
+
+if __name__ == "__main__":
+    main()

@@ -2,14 +2,17 @@
 distance, power-spectrum and color statistics.
 
 The SIFID (Single-Image FID, SinGAN paper) and LPIPS *computations* are
-implemented exactly; the feature extractor is pluggable because this
-environment ships no pretrained InceptionV3/AlexNet weights (zero network
-egress). The default extractor is a FIXED-SEED random convolutional pyramid
-— random-filter features are a standard stand-in for texture statistics
+implemented exactly; the feature extractor is pluggable. When a pretrained
+torchvision-AlexNet state_dict is available locally (``--weights`` or the
+``ITG_QUALITY_WEIGHTS`` env var), its five LPIPS conv taps run as jitted
+JAX convs and the scores are paper-comparable. Otherwise (this environment
+ships no pretrained weights — zero network egress) the default falls back,
+with a visible notice, to a FIXED-SEED random convolutional pyramid —
+random-filter features are a standard stand-in for texture statistics
 (Ustyuzhaninov et al. 2017, "What does it take to generate natural
 textures?": random shallow nets suffice for texture synthesis quality) and
 give a deterministic, comparable score between any two models evaluated with
-the same seed. Pass ``features_fn`` to use a real pretrained network.
+the same seed. Pass ``features_fn`` to plug anything else in.
 
 The reference repo has no quality harness at all (validation is by eyeball,
 SURVEY.md §4); the paper's SIFID numbers were computed outside the repo.
@@ -79,6 +82,119 @@ def random_conv_features(
 
 
 # --------------------------------------------------------------------------
+# Pretrained AlexNet extractor (auto-detected): paper-comparable features
+# when real weights are available locally
+
+
+#: ImageNet normalization (applied to [-1, 1] inputs converted to [0, 1])
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+#: torchvision AlexNet ``features`` conv layout: key index -> (stride, pad),
+#: with a 3x3/stride-2 max-pool AFTER the relu of layers 0 and 3 (the final
+#: pool follows the last tapped relu, so it is irrelevant for features)
+_ALEXNET_CONVS = ((0, 4, 2), (3, 1, 2), (6, 1, 1), (8, 1, 1), (10, 1, 1))
+_ALEXNET_POOL_AFTER = {0, 3}
+
+
+def alexnet_features_from_state_dict(
+    sd,
+) -> Callable[[jnp.ndarray], List[jnp.ndarray]]:
+    """Build the LPIPS/SIFID feature extractor from a torchvision
+    ``alexnet`` state_dict (``features.{0,3,6,8,10}.{weight,bias}`` —
+    the five conv taps LPIPS uses, Zhang et al. 2018). Weights convert
+    OIHW -> HWIO once; the pyramid runs as jitted JAX convs, so the same
+    code path serves CPU and TPU. Channel widths are read off the
+    state_dict, so reduced-width stubs exercise the path in tests."""
+    layers = []
+    for idx, stride, pad in _ALEXNET_CONVS:
+        w = np.asarray(sd[f"features.{idx}.weight"], np.float32)
+        b = np.asarray(sd[f"features.{idx}.bias"], np.float32)
+        layers.append(
+            (jnp.asarray(w.transpose(2, 3, 1, 0)), jnp.asarray(b),
+             stride, pad, idx in _ALEXNET_POOL_AFTER)
+        )
+
+    @jax.jit
+    def features(img: jnp.ndarray) -> List[jnp.ndarray]:
+        # [-1, 1] -> ImageNet-normalized
+        x = (img + 1.0) / 2.0
+        x = (x - _IMAGENET_MEAN) / _IMAGENET_STD
+        feats = []
+        for w, b, stride, pad, pool in layers:
+            x = jax.lax.conv_general_dilated(
+                x, w, (stride, stride), [(pad, pad), (pad, pad)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + b
+            x = jax.nn.relu(x)
+            feats.append(x)
+            if pool:
+                x = jax.lax.reduce_window(
+                    x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                    "VALID",
+                )
+        return feats
+
+    return features
+
+
+#: env var naming a local AlexNet weights file (torchvision state_dict or a
+#: full checkpoint dict containing one)
+WEIGHTS_ENV = "ITG_QUALITY_WEIGHTS"
+
+_resolve_cache: dict = {}
+
+
+def resolve_features_fn(
+    weights_path: Optional[str] = None, verbose: bool = True
+) -> Callable[[jnp.ndarray], List[jnp.ndarray]]:
+    """The extractor every metric defaults to: REAL pretrained AlexNet
+    features when a weights file is available (``weights_path`` argument or
+    the ``ITG_QUALITY_WEIGHTS`` env var — paper-comparable LPIPS/SIFID
+    inputs), else the fixed random pyramid with a one-time visible notice
+    (scores then comparable only between models evaluated here)."""
+    import os
+    import sys
+
+    path = weights_path or os.environ.get(WEIGHTS_ENV)
+    key = path or ""
+    if key in _resolve_cache:
+        return _resolve_cache[key]
+    fn = None
+    if path:
+        try:
+            import torch
+
+            obj = torch.load(path, map_location="cpu", weights_only=False)
+            sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
+            if hasattr(sd, "state_dict"):
+                sd = sd.state_dict()
+            fn = alexnet_features_from_state_dict(
+                {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
+            )
+            if verbose:
+                print(f"quality metrics: pretrained AlexNet features ({path})")
+        except Exception as e:  # missing file, wrong keys, no torch
+            print(
+                f"quality metrics: failed to load pretrained weights from "
+                f"{path!r} ({e}); falling back to the fixed random pyramid",
+                file=sys.stderr,
+            )
+            fn = None
+    if fn is None:
+        if path is None and verbose:
+            print(
+                "quality metrics: no pretrained weights "
+                f"(set ${WEIGHTS_ENV} to an AlexNet state_dict for "
+                "paper-comparable scores); using the fixed random pyramid",
+                file=sys.stderr,
+            )
+        fn = random_conv_features()
+    _resolve_cache[key] = fn
+    return fn
+
+
+# --------------------------------------------------------------------------
 # SIFID (Frechet distance between spatial feature distributions of ONE real
 # and ONE generated image — SinGAN, Shaham et al. 2019)
 
@@ -114,7 +230,7 @@ def sifid(
     real/fake: (H, W, 3) float in [-1, 1] (sizes may differ).
     ``level`` selects the pyramid level (SIFID uses an early Inception map).
     """
-    features_fn = features_fn or random_conv_features()
+    features_fn = features_fn or resolve_features_fn()
     fr = np.asarray(features_fn(jnp.asarray(real)[None])[level])[0]
     ff = np.asarray(features_fn(jnp.asarray(fake)[None])[level])[0]
     mur, covr = _stats(fr.reshape(-1, fr.shape[-1]))
@@ -131,7 +247,7 @@ def lpips_distance(
     a: np.ndarray, b: np.ndarray, features_fn: Optional[Callable] = None
 ) -> float:
     """a/b: (H, W, 3) in [-1, 1], SAME size (LPIPS is positional)."""
-    features_fn = features_fn or random_conv_features()
+    features_fn = features_fn or resolve_features_fn()
     fa = features_fn(jnp.asarray(a)[None])
     fb = features_fn(jnp.asarray(b)[None])
     total = 0.0
@@ -150,7 +266,7 @@ def gram_distance(
     a: np.ndarray, b: np.ndarray, features_fn: Optional[Callable] = None
 ) -> float:
     """Normalized Gram-matrix (texture-statistics) distance; size-agnostic."""
-    features_fn = features_fn or random_conv_features()
+    features_fn = features_fn or resolve_features_fn()
     fa = features_fn(jnp.asarray(a)[None])
     fb = features_fn(jnp.asarray(b)[None])
     total = 0.0
@@ -198,7 +314,7 @@ def texture_quality_report(
     source: np.ndarray, generated: np.ndarray, features_fn: Optional[Callable] = None
 ) -> dict:
     """All size-agnostic metrics of a generated texture vs its source."""
-    features_fn = features_fn or random_conv_features()
+    features_fn = features_fn or resolve_features_fn()
     return {
         "sifid_rand": sifid(source, generated, features_fn),
         "gram_dist": gram_distance(source, generated, features_fn),
@@ -221,14 +337,19 @@ def main() -> None:
     ap.add_argument("--self_baseline", action="store_true",
                     help="also score two disjoint halves of the source "
                     "against each other (the 'perfect texture' floor)")
+    ap.add_argument("--weights", default=None,
+                    help="local pretrained AlexNet state_dict (.pth) for "
+                    "paper-comparable features; default: $"
+                    + WEIGHTS_ENV + " or the fixed random pyramid")
     args = ap.parse_args()
 
+    features_fn = resolve_features_fn(args.weights)
     src = _load_image(args.data_path)
     gen = _load_image(args.image)
-    report = {"image": args.image, **texture_quality_report(src, gen)}
+    report = {"image": args.image, **texture_quality_report(src, gen, features_fn)}
     if args.self_baseline:
         h = src.shape[0] // 2
-        base = texture_quality_report(src[:h], src[h:])
+        base = texture_quality_report(src[:h], src[h:], features_fn)
         report["baseline_self"] = base
     print(json.dumps(report))
 

