@@ -111,24 +111,30 @@ def _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
     @functools.partial(
         shard_map,
         mesh=mesh,
-        in_specs=(P(), P("data"), map_specs),
-        out_specs=P("data"),
+        in_specs=(P(), P("data"), map_specs, P(), P()),
+        out_specs=(P("data"), P("data")),
         check_rep=False,
     )
-    def canvas_pass(variables, z_strips, maps_strips):
+    def canvas_pass(variables, z_strips, maps_strips, r0, init_pending):
         d = lax.axis_index("data")
         z_rows = z_strips[0]  # (n_rows_max, N, z_rows_h, tot_w*base+2, zd)
         ds = (d - 1) % n_dev  # upstream device (cyclic)
 
         halo = init_halo_state(specs, num_images, gh, gw, tot_w, dtype=gen.dtype)
-        pending = {name: jnp.zeros_like(s.row_read) for name, s in halo.items()}
+        # ``init_pending`` seeds the buffer the FIRST row's start pulls in:
+        # zeros for a whole canvas, or the previous slab's final-row buffer
+        # for slab-streamed generation (generate_canvas_wavefront_streamed).
+        # Every other device's pending is overwritten by accept_pend before
+        # its first row starts (the upstream sender is already on that row).
+        pending = dict(init_pending)
+        boundary = {name: jnp.zeros_like(s.row_read) for name, s in halo.items()}
         subs0 = jnp.zeros(
             (n_rows_max, steps_w, num_images, gh * P_res, gw * P_res, gen.img_ch),
             gen.dtype,
         )
 
         def body(carry, t):
-            halo, pending, subs = carry
+            halo, pending, boundary, subs = carry
             # --- static-schedule position arithmetic (all traced int32) ---
             u = t - 2 * d
             i = jnp.floor_divide(u, stride)
@@ -176,7 +182,9 @@ def _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
                     )
                     for k, m in enumerate(maps_strips)
                 ]
-            pos = GridPos(col=cc, first_row=r == 0, first_col=cc == 0)
+            # first_row is a GLOBAL property: slab-local row 0 of a slab at
+            # r0 > 0 reads its upstream buffer (seeded via init_pending)
+            pos = GridPos(col=cc, first_row=(r + r0) == 0, first_col=cc == 0)
             out, halo_new = gen.apply(
                 variables, z_sub, maps_sub, train=False, halo=halo, pos=pos
             )
@@ -210,14 +218,55 @@ def _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps):
                 name: jnp.where(accept_pend, recvs[name], buf)
                 for name, buf in pending.items()
             }
-            return (halo, pending, subs), None
+            # capture the finalized buffer of the slab's LAST row as it
+            # completes (``sends`` at its last column IS that buffer) — the
+            # next slab's init_pending
+            last_fin = active & (r == steps_h - 1) & (c == steps_w - 1)
+            boundary = {
+                name: jnp.where(last_fin, sends[name], boundary[name])
+                for name in boundary
+            }
+            return (halo, pending, boundary, subs), None
 
-        (_, _, subs), _ = lax.scan(
-            body, (halo, pending, subs0), jnp.arange(total_T)
+        (_, _, boundary, subs), _ = lax.scan(
+            body, (halo, pending, boundary, subs0), jnp.arange(total_T)
         )
-        return subs[None]
+        return subs[None], {name: b[None] for name, b in boundary.items()}
 
     return canvas_pass
+
+
+def _zero_pending(gen, num_images: int, tot_w: int):
+    """Zero first-row upstream buffers (row_read-shaped, one per halo site)."""
+    halo = init_halo_state(
+        gen.site_specs(), num_images, gen.num_patches_h, gen.num_patches_w,
+        tot_w, dtype=gen.dtype,
+    )
+    return {name: jnp.zeros_like(s.row_read) for name, s in halo.items()}
+
+
+def _device_row_strips(z_full, maps_full, rows, base, gh, n_dev, n_rows_max):
+    """Stack per-device latent row strips for the given GLOBAL row list
+    (device d gets rows[i*n_dev + d]; ragged tail repeats the last row)."""
+    per_dev = []
+    for d in range(n_dev):
+        picks = [
+            rows[min(i * n_dev + d, len(rows) - 1)] for i in range(n_rows_max)
+        ]
+        per_dev.append(
+            [latents.row_strips(z_full, maps_full, r, base, gh) for r in picks]
+        )
+    z_b = jnp.stack([jnp.stack([z for z, _ in strips]) for strips in per_dev])
+    maps_b = ()
+    if maps_full is not None:
+        n_maps = len(maps_full)
+        maps_b = tuple(
+            jnp.stack(
+                [jnp.stack([ms[k] for _, ms in strips]) for strips in per_dev]
+            )
+            for k in range(n_maps)
+        )
+    return z_b, maps_b
 
 
 def generate_canvas_wavefront(
@@ -292,23 +341,15 @@ def generate_canvas_wavefront(
     # ... (inputs sharded on the mesh axis — no full-canvas replication).
     # Index arithmetic lives in latents.row_strips; clipped repeats for the
     # ragged tail are computed by an idle device and discarded.
-    per_dev = []
-    for d in range(n_dev):
-        rows = [min(i * n_dev + d, steps_h - 1) for i in range(n_rows_max)]
-        strips = [latents.row_strips(z_full, maps_full, r, base, gh) for r in rows]
-        per_dev.append(strips)
-    z_b = jnp.stack([jnp.stack([z for z, _ in strips]) for strips in per_dev])
-    maps_b = ()
-    if maps_full is not None:
-        maps_b = tuple(
-            jnp.stack(
-                [jnp.stack([ms[k] for _, ms in strips]) for strips in per_dev]
-            )
-            for k in range(n_maps)
-        )
+    z_b, maps_b = _device_row_strips(
+        z_full, maps_full, list(range(steps_h)), base, gh, n_dev, n_rows_max
+    )
 
     fn = _canvas_fn(gen, mesh, steps_w, steps_h, num_images, tot_w, n_maps)
-    subs = np.asarray(fn(variables, z_b, maps_b))
+    subs_dev, _ = fn(
+        variables, z_b, maps_b, jnp.int32(0), _zero_pending(gen, num_images, tot_w)
+    )
+    subs = np.asarray(subs_dev)
     # (n_dev, n_rows_max, steps_w, N, gh*P, gw*P, C)
 
     canvas = np.zeros(
@@ -327,3 +368,99 @@ def generate_canvas_wavefront(
                 :,
             ] = subs[d, i, c]
     return canvas[:, :output_resolution_height, :output_resolution_width, :]
+
+
+def generate_canvas_wavefront_streamed(
+    gen,
+    variables,
+    key: jax.Array,
+    output_resolution_height: int,
+    output_resolution_width: int,
+    path: str,
+    mesh: Mesh,
+    slab_rows: int = 8,
+    z_full: Optional[jnp.ndarray] = None,
+    maps_full=None,
+    progress: bool = False,
+) -> str:
+    """Stream an arbitrarily large canvas to a PNG with the WAVEFRONT engine:
+    ``slab_rows`` canvas rows per multi-device dispatch, each slab's final
+    halo row buffer carried to the next slab as its first row's upstream
+    buffer (the ``init_pending``/``boundary`` plumbing of ``_canvas_fn``),
+    bands written incrementally through :class:`sampling.stream.
+    StreamingPNGWriter`. Memory is O(slab) on every device and on the host
+    — this lifts the 6 GiB whole-canvas bound of
+    :func:`generate_canvas_wavefront`, so a pod can stream canvases of any
+    height. Byte-identical to the sequential
+    :func:`sampling.stream.generate_canvas_streamed` (tests assert it; the
+    wavefront == sequential engine equality does the heavy lifting).
+
+    Single image (the streaming consumer is a file); returns ``path``.
+    """
+    from infinite_texture_gans_tpu.sampling.stream import (
+        StreamingPNGWriter,
+        _to_uint8,
+    )
+
+    P_res = gen.patch_resolution
+    gh, gw = gen.num_patches_h, gen.num_patches_w
+    base = gen.base_res
+    steps_h, steps_w, tot_h, tot_w = canvas_geometry(
+        output_resolution_height, output_resolution_width, P_res, gh, gw
+    )
+    n_dev = mesh.devices.size
+    if gw < 3:
+        raise ValueError(
+            f"wavefront requires num_patches_w >= 3 (got {gw}); the lag-2 "
+            "schedule's halo read window would race the row buffer"
+        )
+
+    zk, mk = jax.random.split(key)
+    if z_full is None:
+        z_full = latents.build_z_full(zk, 1, gen.z_dim, base, tot_h, tot_w)
+    if gen.type_norm == "SSM" and maps_full is None:
+        maps_full = latents.build_maps_full(
+            mk, 1, gen.map_dim, gen.n_layers_G, base, tot_h, tot_w
+        )
+    n_maps = len(maps_full) if maps_full is not None else 0
+
+    writer = StreamingPNGWriter(
+        path, output_resolution_height, output_resolution_width, gen.img_ch
+    )
+    kept_cols = (gw - 1) * P_res
+    band = np.zeros((gh * P_res, tot_w * P_res, gen.img_ch), np.uint8)
+    boundary = _zero_pending(gen, 1, tot_w)
+    try:
+        for r0 in range(0, steps_h, slab_rows):
+            sh = min(slab_rows, steps_h - r0)
+            _, _, n_rows_max = schedule_constants(steps_w, sh, n_dev)
+            z_b, maps_b = _device_row_strips(
+                z_full, maps_full, list(range(r0, r0 + sh)), base, gh,
+                n_dev, n_rows_max,
+            )
+            fn = _canvas_fn(gen, mesh, steps_w, sh, 1, tot_w, n_maps)
+            subs_dev, bdry = fn(
+                variables, z_b, maps_b, jnp.int32(r0), boundary
+            )
+            d_last = (sh - 1) % n_dev
+            boundary = {name: b[d_last] for name, b in bdry.items()}
+            subs = np.asarray(subs_dev)
+            for local in range(sh):
+                r = r0 + local
+                d, i = local % n_dev, local // n_dev
+                kept_rows = gh * P_res if r == steps_h - 1 else (gh - 1) * P_res
+                for c in range(steps_w):
+                    band[:, c * kept_cols : (c + 1) * kept_cols] = _to_uint8(
+                        subs[d, i, c, 0, :, :kept_cols]
+                    )
+                band[:, steps_w * kept_cols :] = _to_uint8(
+                    subs[d, i, steps_w - 1, 0, :, kept_cols:]
+                )
+                writer.write_rows(band[:kept_rows])
+                if progress:
+                    print(f"  row {r + 1}/{steps_h} streamed", flush=True)
+        writer.close()
+    except BaseException:
+        writer.abort()
+        raise
+    return path
