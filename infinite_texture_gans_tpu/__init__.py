@@ -31,13 +31,16 @@ def host_cache_fingerprint() -> str:
     target features, and XLA:CPU AOT executables compiled on a machine with
     a richer ISA abort (SIGABRT/SIGILL) when loaded on a host without it —
     observed when this environment migrated machines mid-round. Keying the
-    cache directory by host CPU makes a migration start a fresh cache
-    instead of loading incompatible executables. Flags alone proved too
-    weak a key (round 3: "machine features don't match" AOT loads slipped
-    through on a migrated host with identical flags), so the full identity
-    lines participate — XLA's CpuMachineFeatures compares more than the ISA.
-    TPU executables don't depend on the host ISA, so the only cost is one
-    cold compile per new host."""
+    CPU cache directory by host CPU makes a migration start a fresh CPU
+    cache instead of loading incompatible executables. The full identity
+    lines participate (not just ISA flags) so two near-identical machines
+    never share a dir. NOTE the loader's E-level "machine features don't
+    match ... +prefer-no-gather" message also fires on SAME-host reloads
+    (XLA records LLVM tuning pseudo-features at compile time that runtime
+    host detection never reports — docs/PERF.md round 4); the entry still
+    loads and runs there, so that log line alone is not evidence of a
+    cross-host leak. Accelerator executables don't depend on the host ISA
+    and live in the shared dir instead."""
     ident = []
     try:
         with open("/proc/cpuinfo") as f:
@@ -62,22 +65,88 @@ def host_cache_fingerprint() -> str:
     ).hexdigest()[:8]
 
 
+#: default (accelerator) cache dir — SHARED across hosts: TPU executables
+#: do not depend on the host CPU, so they must survive machine migration
+#: (round 4: a migrated host re-paid ~2 min of superstep/canvas compiles
+#: because the whole cache was fingerprint-keyed)
+_SHARED_CACHE_DIR = _os.path.join(
+    _os.path.expanduser("~"), ".cache", "itg_tpu_xla_shared"
+)
+
+
+def host_cache_dir() -> str:
+    """Per-host cache dir for XLA:CPU compiles (see
+    :func:`host_cache_fingerprint` for why CPU entries must not be shared)."""
+    return _os.path.join(
+        _os.path.expanduser("~"),
+        ".cache",
+        "itg_tpu_xla_" + host_cache_fingerprint(),
+    )
+
+
+def _switch_cache_dir(path: str) -> None:
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    try:  # the cache object is a lazily-created singleton bound to the dir
+        from jax._src.compilation_cache import reset_cache
+
+        reset_cache()
+    except Exception:
+        pass
+
+
+def use_host_keyed_cache() -> None:
+    """Route ALL subsequent compiles of this process to the per-host cache
+    dir — for sessions pinned to the CPU backend (``--platform cpu``,
+    ``dryrun_multichip``): XLA:CPU AOT executables embed host-CPU machine
+    features and abort (SIGABRT/SIGILL) when loaded on a weaker host, so
+    they must never enter the shared dir. No-op when the dir was overridden
+    (env/tests) or caching is disabled."""
+    import jax
+
+    if getattr(jax.config, "jax_compilation_cache_dir", None) == _SHARED_CACHE_DIR:
+        _switch_cache_dir(host_cache_dir())
+
+
+def cpu_cache_scope():
+    """Context manager for an XLA:CPU compile block INSIDE an accelerator
+    session (``create_train_state``'s host-side init): temporarily routes
+    compiles to the per-host dir, restoring the shared dir after. No-op
+    unless the shared dir is active (tests/env overrides stay put)."""
+    import contextlib
+
+    import jax
+
+    @contextlib.contextmanager
+    def scope():
+        if getattr(jax.config, "jax_compilation_cache_dir", None) != _SHARED_CACHE_DIR:
+            yield
+            return
+        _switch_cache_dir(host_cache_dir())
+        try:
+            yield
+        finally:
+            _switch_cache_dir(_SHARED_CACHE_DIR)
+
+    return scope()
+
+
 def _enable_persistent_compilation_cache() -> None:
     """XLA compiles of the full train step take minutes on TPU; cache the
     compiled executables on disk so every CLI/bench process after the first
-    starts warm. Opt out with ITG_TPU_NO_COMPILE_CACHE=1."""
+    starts warm. Opt out with ITG_TPU_NO_COMPILE_CACHE=1.
+
+    Accelerator executables land in the host-independent
+    ``_SHARED_CACHE_DIR``; XLA:CPU compiles are routed to the per-host dir
+    by :func:`use_host_keyed_cache` / :func:`cpu_cache_scope` at the three
+    places CPU compiles happen (``--platform cpu`` sessions, the test
+    conftest, and ``create_train_state``'s host-side init block)."""
     if _os.environ.get("ITG_TPU_NO_COMPILE_CACHE"):
         return
     import jax
 
-    cache_dir = _os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        _os.path.join(
-            _os.path.expanduser("~"),
-            ".cache",
-            "itg_tpu_xla_" + host_cache_fingerprint(),
-        ),
-    )
+    cache_dir = _os.environ.get("JAX_COMPILATION_CACHE_DIR", _SHARED_CACHE_DIR)
     try:
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

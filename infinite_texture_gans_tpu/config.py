@@ -198,6 +198,16 @@ def prepare_sample_parser() -> argparse.ArgumentParser:
     parser.add_argument('--platform', type=str, default='auto',
                         choices=['auto', 'cpu', 'tpu'],
                         help='pin the JAX platform (auto = ambient backend)')
+    parser.add_argument('--mesh', type=str, default=None,
+                        help="generate on a device mesh (e.g. 'data:8'): "
+                             'canvas rows pipelined across chips with '
+                             'ppermute halo exchange (parallel/wavefront.py).'
+                             ' With --stream, slabs of rows are dispatched '
+                             'and written incrementally (O(slab) memory per '
+                             'device — arbitrarily large canvases on a pod).')
+    parser.add_argument('--slab_rows', type=int, default=8,
+                        help='canvas rows per mesh dispatch for '
+                             '--mesh --stream (bounds per-device memory)')
     return parser
 
 
@@ -211,6 +221,12 @@ def apply_platform(args) -> None:
         import jax
 
         jax.config.update('jax_platforms', platform)
+        if platform == 'cpu':
+            # XLA:CPU AOT executables are host-CPU-specific — keep them out
+            # of the shared (accelerator) compilation cache
+            from infinite_texture_gans_tpu import use_host_keyed_cache
+
+            use_host_keyed_cache()
 
 
 def args_to_dict(args: argparse.Namespace) -> Dict[str, Any]:

@@ -73,6 +73,38 @@ def main():
             "Warning: --stream requires a local-padding checkpoint; the "
             "zeros-padding path generates in host memory instead"
         )
+    if getattr(args_sample, "mesh", None) and args.padding_mode == "local":
+        # multi-chip wavefront generation (rows pipelined across the mesh,
+        # halo buffers exchanged over ICI with ppermute)
+        from infinite_texture_gans_tpu.parallel.mesh import make_mesh
+        from infinite_texture_gans_tpu.parallel.wavefront import (
+            generate_canvas_wavefront,
+            generate_canvas_wavefront_streamed,
+        )
+
+        mesh = make_mesh(args_sample.mesh, 1, None)
+        folder = os.path.dirname(args_sample.model_path)
+        saving_path = os.path.join(folder, args_sample.output_name)
+        if getattr(args_sample, "stream", False):
+            if not saving_path.endswith(".png"):
+                saving_path += ".png"
+            generate_canvas_wavefront_streamed(
+                netG, variables, key,
+                args_sample.output_resolution_height,
+                args_sample.output_resolution_width,
+                saving_path, mesh, slab_rows=args_sample.slab_rows,
+                progress=True,
+            )
+        else:
+            img = generate_canvas_wavefront(
+                netG, variables, key,
+                args_sample.output_resolution_height,
+                args_sample.output_resolution_width,
+                mesh, num_images=1,
+            )
+            save_image(np.asarray(img)[0], saving_path)
+        print("The image is saved as:", saving_path)
+        return
     if args.padding_mode == "local" and getattr(args_sample, "stream", False):
         from infinite_texture_gans_tpu.sampling.stream import generate_canvas_streamed
 

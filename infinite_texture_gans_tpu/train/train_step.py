@@ -144,7 +144,11 @@ def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainStat
             cpu = None
     if cpu is None:
         return build(), tx_G, tx_D
-    with jax.default_device(cpu):
+    from infinite_texture_gans_tpu import cpu_cache_scope
+
+    # route the init graphs' XLA:CPU executables to the per-host cache dir
+    # (they embed host machine features; the shared dir must stay portable)
+    with cpu_cache_scope(), jax.default_device(cpu):
         state = build()
     return jax.device_put(state, default), tx_G, tx_D
 

@@ -548,3 +548,58 @@ def test_wavefront_slab_streamed_ssm(tmp_path):
     a = np.asarray(Image.open(seq))
     b = np.asarray(Image.open(slab))
     np.testing.assert_array_equal(b, a)
+
+
+def test_sample_cli_mesh_wavefront(tmp_path, monkeypatch):
+    """The inference CLI's --mesh path: `--mesh data:8 --stream` writes the
+    slab-streamed wavefront PNG byte-identical to the single-device
+    `--stream` run; `--mesh` without --stream smoke-saves a full canvas."""
+    import sys
+
+    from infinite_texture_gans_tpu import sample as sample_cli
+    from infinite_texture_gans_tpu.config import args_to_dict, prepare_parser
+    from infinite_texture_gans_tpu.train.checkpoint import save_checkpoint
+
+    gen = tiny_gen()
+    z0 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+
+    args = prepare_parser().parse_args([])
+    args.z_dim = 8
+    args.G_ch = 8
+    args.n_layers_G = 4
+    args.attention = False
+    args.padding_mode = "local"
+    ckpt = str(tmp_path / "tiny__ema.ckpt")
+    save_checkpoint(ckpt, {"meta": {"args": args_to_dict(args)},
+                           "netG_variables": variables})
+
+    P_res = gen.patch_resolution
+    size = ["--output_resolution_height", str(9 * P_res),
+            "--output_resolution_width", str(7 * P_res)]
+
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--model_path", ckpt, "--output_name", "seq.png",
+        "--stream", "--seed", "3", *size,
+    ])
+    sample_cli.main()
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--model_path", ckpt, "--output_name", "slab.png",
+        "--stream", "--mesh", "data:8", "--slab_rows", "2", "--seed", "3",
+        *size,
+    ])
+    sample_cli.main()
+    from PIL import Image
+
+    a = np.asarray(Image.open(tmp_path / "seq.png"))
+    b = np.asarray(Image.open(tmp_path / "slab.png"))
+    np.testing.assert_array_equal(b, a)
+
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--model_path", ckpt, "--output_name", "wf.png",
+        "--mesh", "data:8", "--seed", "3", *size,
+    ])
+    sample_cli.main()
+    c = np.asarray(Image.open(tmp_path / "wf.png"))
+    assert c.shape == a.shape and c.std() > 1

@@ -7,3 +7,39 @@ def test_platform():
 
     assert jax.default_backend() == "cpu"
     assert len(jax.devices()) == 8
+
+
+def test_compilation_cache_dir_routing():
+    """Accelerator executables live in the SHARED cache dir (host-
+    independent — they must survive machine migration); XLA:CPU compiles
+    are routed to the per-host dir (their AOT executables embed host CPU
+    features and SIGABRT on a weaker host). cpu_cache_scope/
+    use_host_keyed_cache only act when the shared dir is active, so test/
+    env overrides stay put."""
+    import jax
+
+    import infinite_texture_gans_tpu as pkg
+
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", pkg._SHARED_CACHE_DIR)
+        with pkg.cpu_cache_scope():
+            assert jax.config.jax_compilation_cache_dir == pkg.host_cache_dir()
+        assert jax.config.jax_compilation_cache_dir == pkg._SHARED_CACHE_DIR
+        pkg.use_host_keyed_cache()
+        assert jax.config.jax_compilation_cache_dir == pkg.host_cache_dir()
+
+        # overridden dir (tests, JAX_COMPILATION_CACHE_DIR): both are no-ops
+        jax.config.update("jax_compilation_cache_dir", "/tmp/itg_custom_cache")
+        with pkg.cpu_cache_scope():
+            assert jax.config.jax_compilation_cache_dir == "/tmp/itg_custom_cache"
+        pkg.use_host_keyed_cache()
+        assert jax.config.jax_compilation_cache_dir == "/tmp/itg_custom_cache"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)
+        try:
+            from jax._src.compilation_cache import reset_cache
+
+            reset_cache()
+        except Exception:
+            pass
