@@ -121,6 +121,7 @@ def main() -> None:
     from infinite_texture_gans_tpu.sampling.infinite import generate_canvas
     from infinite_texture_gans_tpu.train.train_step import (
         create_train_state,
+        host_key,
         make_train_step,
         make_train_superstep,
     )
@@ -144,7 +145,9 @@ def main() -> None:
     G = ResidualPatchGenerator(**generator_kwargs(args))
     D = PatchDiscriminator(**discriminator_kwargs(args))
 
-    key = jax.random.key(0)
+    # CPU-committed key: the eager key ops around state init must not
+    # dispatch across the tunnel (latency lottery; train_step.host_key)
+    key = host_key(0)
     state, tx_G, tx_D = create_train_state(G, D, args, key, steps_per_epoch=125)
     step_kw = dict(
         loss_type=args.loss, smooth=args.smooth, disc_iters=args.disc_iters,

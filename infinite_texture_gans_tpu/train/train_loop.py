@@ -42,6 +42,7 @@ from infinite_texture_gans_tpu.train.checkpoint import (
 from infinite_texture_gans_tpu.train.train_step import (
     create_train_state,
     dispatch_plan,
+    host_key,
     make_train_step,
     make_train_superstep,
 )
@@ -133,8 +134,21 @@ def train(args) -> None:
     netG, netD = prepare_models(args)
 
     steps_per_epoch = max(1, math.ceil(len(dataset) / args.batch_size))
-    key = jax.random.key(seed)
-    key, init_key = jax.random.split(key)
+    # root key on the host CPU backend, and every eager key-chain op under
+    # the CPU default-device context: tiny eager ops across a (possibly
+    # tunneled) accelerator boundary are a latency lottery
+    # (train_step.host_key; docs/PERF.md round 4). The derived key arrays
+    # stay uncommitted, so they remain valid args for any device/mesh jit.
+    import contextlib
+
+    try:
+        _cpu0 = jax.local_devices(backend="cpu")[0]
+        cpu_keys = lambda: jax.default_device(_cpu0)
+    except RuntimeError:
+        cpu_keys = contextlib.nullcontext
+    key = host_key(seed)
+    with cpu_keys():
+        key, init_key = jax.random.split(key)
     state, tx_G, tx_D = create_train_state(netG, netD, args, init_key, steps_per_epoch)
 
     print(netG)
@@ -285,16 +299,21 @@ def train(args) -> None:
             # exactly the keys the uninterrupted run would have drawn
             # (deterministic-by-seed restart, SURVEY.md §5; tested
             # resumed ≡ uninterrupted in tests/test_train.py).
-            data_key, epoch_key = jax.random.split(
-                jax.random.fold_in(key, epoch)
-            )
-            step_keys = jax.random.split(epoch_key, steps_per_epoch)
+            with cpu_keys():  # local eager key ops (see root-key comment)
+                data_key, epoch_key = jax.random.split(
+                    jax.random.fold_in(key, epoch)
+                )
+                step_keys = jax.random.split(epoch_key, steps_per_epoch)
+                crop_keys = (
+                    jax.random.split(data_key, steps_per_epoch)
+                    if device_sampler is not None
+                    else None
+                )
             # Metrics stay on device during the epoch (a float() per step would
             # force a host sync and serialize dispatch); one block at epoch end.
             epoch_metrics = []
             batch_sizes = []
             if superstep is not None:
-                crop_keys = jax.random.split(data_key, steps_per_epoch)
                 n_full = steps_per_epoch // k_dispatch
                 chunks = [
                     slice(ci * k_dispatch, (ci + 1) * k_dispatch)
@@ -313,7 +332,6 @@ def train(args) -> None:
                 batch_sizes = [args.batch_size] * steps_per_epoch
             else:
                 if device_sampler is not None:
-                    crop_keys = jax.random.split(data_key, steps_per_epoch)
                     prefetcher = (
                         device_sampler.sample(crop_keys[i], args.batch_size)
                         for i in range(steps_per_epoch)

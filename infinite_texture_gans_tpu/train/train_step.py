@@ -84,6 +84,26 @@ def split_variables(variables) -> Tuple[Any, Dict[str, Any]]:
     return params, v
 
 
+def host_key(seed: int) -> jax.Array:
+    """Root PRNG key COMMITTED to the host CPU backend.
+
+    The training loop's key chain (per-epoch fold_in/split, the init key)
+    runs as tiny eager ops; with an accelerator-resident root key each one
+    dispatches across the backend boundary, and on a tunneled accelerator
+    that cross-backend shuffle is a latency lottery — measured stalls of
+    45-130 s inside create_train_state's first split (docs/PERF.md round
+    4). The key is created UNDER the CPU default-device context but NOT
+    device_put-committed: uncommitted arrays remain valid arguments for
+    any jitted computation's device set (incl. meshes), while eager key
+    ops under a ``jax.default_device(cpu)`` context stay entirely local."""
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return jax.random.key(seed)
+    with jax.default_device(cpu):
+        return jax.random.key(seed)
+
+
 def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainState, Any, Any]:
     """Initialise models + optimizers. Returns (state, tx_G, tx_D).
 
@@ -96,7 +116,20 @@ def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainStat
 
     def build():
         kg, kd = jax.random.split(key)
-        gh, gw = G.num_patches_h, G.num_patches_w
+        # Init on a 1x1 patch grid with the Pallas tail off: parameter/stat
+        # SHAPES and init VALUES depend on neither the grid's spatial
+        # extent nor the kernel implementation (initializers consume only
+        # shapes; batch stats are not updated while initializing) —
+        # verified identical params + batch_stats vs the full-grid init at
+        # flagship width, and across chw_tail/fuse_up settings
+        # (tests/test_train.py). The flagship 3x3-grid init graph costs
+        # ~100 s of XLA:CPU compile on every fresh host; the 1x1 XLA-only
+        # graph ~3 s, and it sidesteps any Pallas min-width constraint at
+        # the narrow single-patch maps.
+        G_init = G.clone(
+            num_patches_h=1, num_patches_w=1, chw_tail="off", fuse_up="off"
+        )
+        gh = gw = 1
         if G.padding_mode == "local":
             z = jnp.zeros((1, gh * G.base_res + 2, gw * G.base_res + 2, G.z_dim))
         else:
@@ -109,7 +142,7 @@ def create_train_state(G, D, args, key, steps_per_epoch: int) -> Tuple[TrainStat
                 jnp.zeros((1, (2**i) * G.base_res, (2**i) * G.base_res, G.map_dim))
                 for i in range(G.n_layers_G)
             ]
-        g_vars = jax.jit(lambda z, m: G.init(kg, z, m, train=True))(z, maps)
+        g_vars = jax.jit(lambda z, m: G_init.init(kg, z, m, train=True))(z, maps)
         d_vars = jax.jit(lambda x: D.init(kd, x, train=True))(
             jnp.zeros((1, 64, 64, args.img_ch))
         )

@@ -857,3 +857,42 @@ def test_hinge_train_smoke():
             lambda a, b: float(jnp.abs(a - b).max()), old, new
         )
         assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+@pytest.mark.parametrize("type_norm", ["BN", "SSM"])
+def test_create_train_state_init_equals_full_grid(type_norm):
+    """create_train_state inits on a 1x1 patch grid with the Pallas tail
+    off (~30x less XLA:CPU compile on a fresh host); the resulting params
+    AND batch_stats must be bit-identical to the module's own full-grid
+    init — initializers consume only shapes, and BN stats are not updated
+    while initializing."""
+    from infinite_texture_gans_tpu.sampling.latents import build_train_maps
+
+    args = tiny_args(type_norm_G=type_norm, chw_tail="on")
+    G, D = build(args)
+    state, _, _ = create_train_state(G, D, args, jax.random.key(5), 4)
+
+    kg, _ = jax.random.split(jax.random.key(5))
+    gh, gw = G.num_patches_h, G.num_patches_w
+    z = jnp.zeros((1, gh * G.base_res + 2, gw * G.base_res + 2, G.z_dim))
+    maps = None
+    if type_norm == "SSM":
+        maps = build_train_maps(
+            jax.random.key(0), 1, G.map_dim, G.n_layers_G, G.base_res, gh, gw
+        )
+    ref = G.init(kg, z, maps, train=True)
+    for mine, theirs in (
+        (state.params_G, ref["params"]),
+        (state.aux_G["batch_stats"], ref["batch_stats"]),
+    ):
+        a = {
+            jax.tree_util.keystr(k): np.asarray(x, np.float32)
+            for k, x in jax.tree_util.tree_leaves_with_path(mine)
+        }
+        b = {
+            jax.tree_util.keystr(k): np.asarray(x, np.float32)
+            for k, x in jax.tree_util.tree_leaves_with_path(theirs)
+        }
+        assert set(a) == set(b)
+        for k in a:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
