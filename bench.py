@@ -192,8 +192,10 @@ def main() -> None:
         t0 = time.time()
         for i in range(n_steps):
             state, metrics = step(state, real, step_keys[i])
-        jax.block_until_ready(state.params_G)
+        # materializing barrier — see the superstep branch's comment
+        final_g_loss = float(np.asarray(jax.device_get(metrics["g_loss"])))
         dt = time.time() - t0
+        assert np.isfinite(final_g_loss)
     else:
         superstep = make_train_superstep(
             G, D, tx_G, tx_D, crop=args.random_crop,
@@ -216,8 +218,14 @@ def main() -> None:
         for d in range(1, n_disp + 1):
             sl = slice(d * n_steps, (d + 1) * n_steps)
             state, metrics = superstep(state, img, crop_keys[sl], step_keys[sl])
-        jax.block_until_ready(state.params_G)
+        # The barrier must MATERIALIZE data, not just wait: on a degraded
+        # tunnel block_until_ready has been observed to return early
+        # (~8 ms for 3x125 steps — a 47,000 steps/s artifact), while an
+        # actual D2H of the final metrics cannot lie. Costs one tunnel
+        # round trip (~0.15 s on ~7.5 s measured) — an honest lower bound.
+        final_g_loss = float(np.asarray(jax.device_get(metrics["g_loss"]))[-1])
         dt = time.time() - t0
+        assert np.isfinite(final_g_loss)
         n_steps *= n_disp
     steps_per_sec = n_steps / dt
     # patches through G per train step: num_images * 3x3 (train fake grid)
