@@ -72,6 +72,13 @@ def print_categories(plane, ev_meta, n_steps: int) -> None:
         totals = defaultdict(float)
         for ev in line.events:
             name = ev_meta[ev.metadata_id].name if ev.metadata_id in ev_meta else "?"
+            # control-flow WRAPPER events (%while = the lax.scan of a
+            # superstep dispatch, %conditional) span their body ops, which
+            # appear as separate events — counting both double-counts the
+            # whole scan (seen as a giant 'other' bucket in round 4)
+            head = name.split(" ", 1)[0]
+            if head.startswith("%while") or head.startswith("%conditional"):
+                continue
             totals[categorize(name)] += ev.duration_ps / 1e9
         grand = sum(totals.values())
         print(f"== categories (total {grand:.2f} ms over {n_steps} steps, "
