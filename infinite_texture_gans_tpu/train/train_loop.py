@@ -134,6 +134,13 @@ def train(args) -> None:
     netG, netD = prepare_models(args)
 
     steps_per_epoch = max(1, math.ceil(len(dataset) / args.batch_size))
+    if len(dataset) % args.batch_size and steps_per_epoch > 1:
+        print(
+            f"note: --sampling {len(dataset)} is not a multiple of "
+            f"--batch_size {args.batch_size}; on-device epochs run "
+            f"{steps_per_epoch} FULL batches (the reference's DataLoader "
+            "draws a short final batch instead — PARITY.md deviations)"
+        )
     # root key on the host CPU backend, and every eager key-chain op under
     # the CPU default-device context: tiny eager ops across a (possibly
     # tunneled) accelerator boundary are a latency lottery
