@@ -179,9 +179,12 @@ def main() -> None:
                 dtype=np.float32,
             ).clip(-1, 1)
         )
-        # warmup / compile
-        state, _ = step(state, real, jax.random.key(1))
-        jax.block_until_ready(state.params_G)
+        # warmup / compile. The barrier MATERIALIZES the metrics: on this
+        # tunneled backend block_until_ready has been observed to return
+        # while the compile/execution is still in flight, which would push
+        # ~150 s of warmup into the first timed dispatch (docs/PERF.md r4).
+        state, m0 = step(state, real, jax.random.key(1))
+        assert np.isfinite(float(np.asarray(jax.device_get(m0["g_loss"]))))
         setup_s = time.time() - t_setup
         # pre-split keys ON DEVICE and materialize the list BEFORE the
         # timer: both a fresh jax.random.key(i) and a first key-array index
@@ -208,14 +211,23 @@ def main() -> None:
         # block — a single timed dispatch would charge a full tunnel round
         # trip (~0.15 s) against one epoch, which production never pays.
         n_disp = int(os.environ.get("BENCH_DISPATCHES", "3"))
-        crop_keys = jax.random.split(jax.random.key(1), (n_disp + 1) * n_steps)
-        step_keys = jax.random.split(jax.random.key(2), (n_disp + 1) * n_steps)
-        # warmup / compile: one full-length dispatch
-        state, _ = superstep(state, img, crop_keys[:n_steps], step_keys[:n_steps])
-        jax.block_until_ready(state.params_G)
+        crop_keys = jax.random.split(jax.random.key(1), (n_disp + 2) * n_steps)
+        step_keys = jax.random.split(jax.random.key(2), (n_disp + 2) * n_steps)
+        # warmup / compile: TWO full-length dispatches, each closed by a
+        # MATERIALIZING barrier. One warmup is not enough: (a) on this
+        # tunneled backend block_until_ready has been seen returning while
+        # compile/execution is still in flight, and (b) the first
+        # steady-state dispatch consumes the DONATED output of the warmup,
+        # whose layouts can differ from create_train_state's device_put
+        # layouts — either way ~150 s of one-time cost lands in the first
+        # timed dispatch (measured; docs/PERF.md r4).
+        for w in range(2):
+            sl = slice(w * n_steps, (w + 1) * n_steps)
+            state, m0 = superstep(state, img, crop_keys[sl], step_keys[sl])
+            assert np.isfinite(float(np.asarray(jax.device_get(m0["g_loss"]))[-1]))
         setup_s = time.time() - t_setup
         t0 = time.time()
-        for d in range(1, n_disp + 1):
+        for d in range(2, n_disp + 2):
             sl = slice(d * n_steps, (d + 1) * n_steps)
             state, metrics = superstep(state, img, crop_keys[sl], step_keys[sl])
         # The barrier must MATERIALIZE data, not just wait: on a degraded
