@@ -111,6 +111,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from infinite_texture_gans_tpu import route_cache_for_backend
+
+    route_cache_for_backend()  # ambient-CPU sessions use the per-host dir
+
     from infinite_texture_gans_tpu.config import (
         discriminator_kwargs,
         generator_kwargs,

@@ -109,6 +109,19 @@ def use_host_keyed_cache() -> None:
         _switch_cache_dir(host_cache_dir())
 
 
+def route_cache_for_backend() -> None:
+    """Call once the backend is (about to be) initialized: routes compiles
+    to the per-host dir when the session's DEFAULT backend is CPU. Covers
+    ``--platform auto`` on a CPU-only machine — without it such a session
+    would write host-specific XLA:CPU AOT executables into the shared
+    portable dir (the exact SIGABRT-after-migration hazard the cache split
+    prevents). No-op on accelerator sessions and overridden dirs."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        use_host_keyed_cache()
+
+
 def cpu_cache_scope():
     """Context manager for an XLA:CPU compile block INSIDE an accelerator
     session (``create_train_state``'s host-side init): temporarily routes

@@ -301,13 +301,14 @@ class DeviceMultiImageSampler:
 
     @classmethod
     def maybe_build(cls, dataset, device_put=None, mesh=None, max_mb=None):
-        """Build when the stacked dataset fits on device and the images can
-        share a batch; else return ``(None, reason)`` so the caller can fall
-        back to the host :class:`Prefetcher` with a visible notice."""
-        try:
-            stacked_mb = dataset.stacked_nbytes() / 2**20
-        except ValueError as e:
-            return None, str(e)
+        """Build when the stacked dataset fits on device; return ``(None,
+        reason)`` ONLY for the over-the-cap case (the host :class:`Prefetcher`
+        handles that). Stackability errors (a crop larger than the smallest
+        image, mixed channel counts, unequalized sizes) RAISE: the host path
+        would crash on the same condition anyway — possibly many steps into
+        training, when the bad image is finally drawn — so fail at startup
+        with the clear message."""
+        stacked_mb = dataset.stacked_nbytes() / 2**20  # raises if unstackable
         limit = cls.MAX_DEVICE_MB if max_mb is None else max_mb
         if stacked_mb > limit:
             return None, (

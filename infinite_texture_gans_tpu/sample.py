@@ -42,6 +42,9 @@ def main():
 
     args_sample = prepare_sample_parser().parse_args()
     apply_platform(args_sample)  # before any backend touch
+    from infinite_texture_gans_tpu import route_cache_for_backend
+
+    route_cache_for_backend()  # ambient-CPU sessions use the per-host dir
     from infinite_texture_gans_tpu.train.checkpoint import load_checkpoint
 
     ckpt = load_checkpoint(args_sample.model_path)
@@ -73,16 +76,31 @@ def main():
             "Warning: --stream requires a local-padding checkpoint; the "
             "zeros-padding path generates in host memory instead"
         )
+    if getattr(args_sample, "mesh", None) and args.padding_mode != "local":
+        print(
+            "Warning: --mesh requires a local-padding checkpoint (the "
+            "wavefront pipelines the halo protocol); generating single-device"
+        )
+    mesh = None
     if getattr(args_sample, "mesh", None) and args.padding_mode == "local":
+        from infinite_texture_gans_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args_sample.mesh, 1, None)
+        if mesh is None:
+            print(
+                f"Warning: --mesh {args_sample.mesh} resolves to a single "
+                "device; generating with the single-chip engine"
+            )
+    if mesh is not None:
         # multi-chip wavefront generation (rows pipelined across the mesh,
         # halo buffers exchanged over ICI with ppermute)
-        from infinite_texture_gans_tpu.parallel.mesh import make_mesh
         from infinite_texture_gans_tpu.parallel.wavefront import (
             generate_canvas_wavefront,
             generate_canvas_wavefront_streamed,
         )
 
-        mesh = make_mesh(args_sample.mesh, 1, None)
+        if args_sample.batch > 1:
+            print("Warning: --mesh generates a single image; ignoring --batch")
         folder = os.path.dirname(args_sample.model_path)
         saving_path = os.path.join(folder, args_sample.output_name)
         if getattr(args_sample, "stream", False):

@@ -120,6 +120,9 @@ def train(args) -> None:
 
     apply_platform(args)  # must precede prepare_device's jax.devices()
     device = prepare_device(args)
+    from infinite_texture_gans_tpu import route_cache_for_backend
+
+    route_cache_for_backend()  # ambient-CPU sessions use the per-host dir
     if getattr(args, "num_workers", 0):
         print(
             "Warning: --num_workers is ignored — single-image batches are "

@@ -89,18 +89,20 @@ def generator_forward_flops(
     return total * num_images
 
 
-def discriminator_forward_flops(D, h: int, w: int, batch: int) -> int:
-    """Conv FLOPs of one PatchDiscriminator forward on a (batch, h, w) input
-    (reference models/discriminators.py:187-206 layout: k4 s2 stem, then
-    n_layers_D-1 convs doubling channels capped at 512 with stride 2 except
-    the last, final k4 s1 -> 1)."""
+def discriminator_forward_flops(
+    D, h: int, w: int, batch: int, in_ch: int = 3
+) -> int:
+    """Conv FLOPs of one PatchDiscriminator forward on a (batch, h, w,
+    in_ch) input (reference models/discriminators.py:187-206 layout: k4 s2
+    stem, then n_layers_D-1 convs doubling channels capped at 512 with
+    stride 2 except the last, final k4 s1 -> 1)."""
     k, p = D.kw, 1
 
     def out_size(size: int, stride: int) -> int:
         return (size + 2 * p - k) // stride + 1
 
     total = 0
-    cin, cout = 3, D.base_ch
+    cin, cout = in_ch, D.base_ch
     h, w = out_size(h, 2), out_size(w, 2)
     total += conv2d_flops(cin, cout, k, h, w)
     nf = D.base_ch
@@ -130,8 +132,8 @@ def train_step_flops(
     g_fwd = generator_forward_flops(G, num_images=num_images)
     P = G.patch_resolution
     fake_hw = (G.num_patches_h * P, G.num_patches_w * P)
-    d_real = discriminator_forward_flops(D, crop, crop, batch_size)
-    d_fake = discriminator_forward_flops(D, *fake_hw, num_images)
+    d_real = discriminator_forward_flops(D, crop, crop, batch_size, G.img_ch)
+    d_fake = discriminator_forward_flops(D, *fake_hw, num_images, G.img_ch)
 
     total = (disc_iters - 1) * g_fwd  # fwd-only G samples
     total += 3 * g_fwd  # last G fwd + full backward

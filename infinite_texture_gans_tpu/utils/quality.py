@@ -343,6 +343,9 @@ def main() -> None:
                     + WEIGHTS_ENV + " or the fixed random pyramid")
     args = ap.parse_args()
 
+    from infinite_texture_gans_tpu import route_cache_for_backend
+
+    route_cache_for_backend()  # ambient-CPU sessions use the per-host dir
     features_fn = resolve_features_fn(args.weights)
     src = _load_image(args.data_path)
     gen = _load_image(args.image)

@@ -712,9 +712,10 @@ def test_multi_image_device_stack_and_sampler(tmp_path):
 
 
 def test_multi_image_device_sampler_fallbacks(tmp_path):
-    """maybe_build falls back (None + reason) instead of raising: device
-    footprint over the cap; differing sizes with no crop; crop larger than
-    the smallest image."""
+    """maybe_build falls back (None + reason) ONLY for the recoverable
+    over-the-cap case; stackability errors (crop larger than the smallest
+    image, unequalized sizes) raise at startup — the host path would crash
+    on the same condition mid-training."""
     from infinite_texture_gans_tpu.data.datasets import (
         DeviceMultiImageSampler,
         MultipleImagesDataset,
@@ -726,12 +727,12 @@ def test_multi_image_device_sampler_fallbacks(tmp_path):
     assert s is None and "MB" in why
 
     ds_nocrop = MultipleImagesDataset(d, ext="png")
-    s, why = DeviceMultiImageSampler.maybe_build(ds_nocrop)
-    assert s is None and "differ in size" in why
+    with pytest.raises(ValueError, match="differ in size"):
+        DeviceMultiImageSampler.maybe_build(ds_nocrop)
 
     ds_big = MultipleImagesDataset(d, ext="png", random_crop=48)
-    s, why = DeviceMultiImageSampler.maybe_build(ds_big)
-    assert s is None and "smallest image" in why
+    with pytest.raises(ValueError, match="smallest image"):
+        DeviceMultiImageSampler.maybe_build(ds_big)
 
 
 def test_multi_superstep_matches_per_step(tmp_path):
