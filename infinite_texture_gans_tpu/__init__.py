@@ -145,6 +145,61 @@ def cpu_cache_scope():
     return scope()
 
 
+def _atomic_cache_writes() -> None:
+    """Make the persistent compilation cache's entry writes ATOMIC.
+
+    jax's file cache writes entries with a bare ``write_bytes`` and skips
+    the write when the file already ``exists()`` — so a process killed
+    mid-write (timeouts, stall restarts: routine in this environment)
+    leaves a TRUNCATED entry that is never repaired, and every later
+    process SIGABRTs deserializing it (observed round 4: two full pytest
+    runs died with ``Fatal Python error: Aborted`` inside a device_get at
+    random tests; clearing the cache dir fixed both). Writing to a
+    tmp file + ``os.replace`` makes a killed writer leave nothing behind.
+    Falls back to the stock implementation on any jax-internals drift."""
+    try:
+        from jax._src.lru_cache import _CACHE_SUFFIX, LRUCache
+    except Exception:  # pragma: no cover - future jax layout changes
+        return
+    import time
+    import warnings
+
+    _orig_put = LRUCache.put
+
+    def put(self, key: str, val: bytes) -> None:
+        try:
+            if not key:
+                raise ValueError("key cannot be empty")
+            if self.eviction_enabled and len(val) > self.max_size:
+                warnings.warn(
+                    f"Cache value for key {key!r} of size {len(val)} bytes "
+                    f"exceeds the maximum cache size of {self.max_size} bytes"
+                )
+                return
+            cache_path = self.path / f"{key}{_CACHE_SUFFIX}"
+            if self.eviction_enabled:
+                self.lock.acquire(timeout=self.lock_timeout_secs)
+            try:
+                if cache_path.exists():
+                    return
+                self._evict_if_needed(additional_size=len(val))
+                tmp_path = self.path / f"{key}.tmp.{_os.getpid()}"
+                tmp_path.write_bytes(val)
+                _os.replace(tmp_path, cache_path)
+                if self.eviction_enabled:
+                    timestamp = time.time_ns().to_bytes(8, "little")
+                    from jax._src.lru_cache import _ATIME_SUFFIX
+
+                    (self.path / f"{key}{_ATIME_SUFFIX}").write_bytes(timestamp)
+            finally:
+                if self.eviction_enabled:
+                    self.lock.release()
+        except AttributeError:  # pragma: no cover - internals drifted
+            _orig_put(self, key, val)
+
+    LRUCache.put = put
+
+
 def _enable_persistent_compilation_cache() -> None:
     """XLA compiles of the full train step take minutes on TPU; cache the
     compiled executables on disk so every CLI/bench process after the first
@@ -168,6 +223,7 @@ def _enable_persistent_compilation_cache() -> None:
         pass  # older jax without these flags
 
 
+_atomic_cache_writes()
 _enable_persistent_compilation_cache()
 
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator

@@ -43,3 +43,20 @@ def test_compilation_cache_dir_routing():
             reset_cache()
         except Exception:
             pass
+
+
+def test_atomic_cache_put_roundtrip(tmp_path):
+    """The package patches jax's LRUCache.put to write atomically (tmp +
+    os.replace) — a process killed mid-write must not leave a truncated
+    entry that poisons every later load (round-4 Fatal-Aborted incidents).
+    Normal put/get must round-trip and leave no tmp files behind."""
+    import infinite_texture_gans_tpu  # noqa: F401  (applies the patch)
+    from jax._src.lru_cache import LRUCache
+
+    c = LRUCache(str(tmp_path), max_size=-1)
+    c.put("k1", b"payload-bytes")
+    assert c.get("k1") == b"payload-bytes"
+    c.put("k1", b"other")  # existing entries are not overwritten
+    assert c.get("k1") == b"payload-bytes"
+    leftovers = [p for p in tmp_path.iterdir() if ".tmp." in p.name]
+    assert leftovers == []
