@@ -29,6 +29,7 @@ from infinite_texture_gans_tpu.data.synthetic import make_texture
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.train.train_step import (
+    host_key,
     create_train_state, make_train_superstep,
 )
 
@@ -68,7 +69,7 @@ def main():
         ),
     }
     for name, img in sources.items():
-        state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 125)
+        state, tx_G, tx_D = create_train_state(G, D, args, host_key(0), 125)
         superstep = make_train_superstep(
             G, D, tx_G, tx_D, crop=args.random_crop,
             batch_size=args.batch_size, sampler=name if name == "multi" else "single",

@@ -22,7 +22,7 @@ from infinite_texture_gans_tpu.config import (
 )
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
-from infinite_texture_gans_tpu.train.train_step import create_train_state, make_train_step
+from infinite_texture_gans_tpu.train.train_step import host_key, create_train_state, make_train_step
 
 
 def main(trace_dir: str) -> None:
@@ -39,7 +39,7 @@ def main(trace_dir: str) -> None:
 
     G = ResidualPatchGenerator(**generator_kwargs(args))
     D = PatchDiscriminator(**discriminator_kwargs(args))
-    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 125)
+    state, tx_G, tx_D = create_train_state(G, D, args, host_key(0), 125)
     step = make_train_step(
         G, D, tx_G, tx_D, loss_type=args.loss, smooth=True, disc_iters=1,
         num_images=8, ema_decay=0.999, use_ema=True,

@@ -27,6 +27,7 @@ from infinite_texture_gans_tpu.config import (
 from infinite_texture_gans_tpu.models.discriminator import PatchDiscriminator
 from infinite_texture_gans_tpu.models.generator import ResidualPatchGenerator
 from infinite_texture_gans_tpu.train.train_step import (
+    host_key,
     create_train_state, make_train_superstep,
 )
 
@@ -41,7 +42,7 @@ def main(trace_dir: str, k: int) -> None:
 
     G = ResidualPatchGenerator(**generator_kwargs(args))
     D = PatchDiscriminator(**discriminator_kwargs(args))
-    state, tx_G, tx_D = create_train_state(G, D, args, jax.random.key(0), 125)
+    state, tx_G, tx_D = create_train_state(G, D, args, host_key(0), 125)
     superstep = make_train_superstep(
         G, D, tx_G, tx_D, crop=args.random_crop, batch_size=args.batch_size,
         loss_type=args.loss, smooth=True, disc_iters=1, num_images=8,
