@@ -184,8 +184,18 @@ def _atomic_cache_writes() -> None:
                     return
                 self._evict_if_needed(additional_size=len(val))
                 tmp_path = self.path / f"{key}.tmp.{_os.getpid()}"
-                tmp_path.write_bytes(val)
-                _os.replace(tmp_path, cache_path)
+                try:
+                    tmp_path.write_bytes(val)
+                    _os.replace(tmp_path, cache_path)
+                finally:
+                    # a writer that failed between write_bytes and replace
+                    # must not leave an orphan the LRU eviction (which only
+                    # sees the '-cache' suffix) can never collect
+                    if tmp_path.exists():
+                        try:
+                            tmp_path.unlink()
+                        except OSError:
+                            pass
                 if self.eviction_enabled:
                     timestamp = time.time_ns().to_bytes(8, "little")
                     from jax._src.lru_cache import _ATIME_SUFFIX

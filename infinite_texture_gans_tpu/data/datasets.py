@@ -177,20 +177,41 @@ class MultipleImagesDataset:
             out.append(arr)
         return _normalize(np.stack(out))
 
-    def _stack_check(self):
-        """Decode (cached) + preprocess every image; validate that they can
-        share one padded device batch. Raises ValueError when they cannot
-        (mixed channel counts, or differing sizes with no crop to equalize
-        them) — callers fall back to the host path."""
-        arrs = [self._preprocessed(n) for n in self.files]
-        chans = {a.shape[-1] for a in arrs}
-        if len(chans) != 1:
+    def _stack_meta(self):
+        """Post-preprocess (h, w, channels) of every image WITHOUT decoding
+        pixel data where possible: PIL's lazy ``open`` reads only the header
+        (size + mode), so a large directory does not pay a full-decode
+        startup stall just to learn it exceeds the device cap. ``.txt``
+        grids (no header) and already-cached images use the decoded array.
+        Validates stackability — raises ValueError on mixed channel counts,
+        or differing sizes with no crop to equalize them."""
+        hs, ws, chans = [], [], []
+        for name in self.files:
+            p = os.path.join(self.path, name)
+            if name in self._cache or self.ext == "txt" or p.endswith(".txt"):
+                a = self._preprocessed(name)
+                h, w, c = a.shape
+            else:
+                from PIL import Image
+
+                with Image.open(p) as im:
+                    w, h = im.size
+                    # _load_image converts anything not RGB/L to RGB
+                    c = 1 if im.mode == "L" else 3
+                if self.resize is not None:
+                    h, w = self.resize
+                if self.center_crop:
+                    h = w = 64  # _preprocessed: center crop -> resize(64)
+            hs.append(h)
+            ws.append(w)
+            chans.append(c)
+        hs = np.asarray(hs, np.int32)
+        ws = np.asarray(ws, np.int32)
+        if len(set(chans)) != 1:
             raise ValueError(
-                f"images mix channel counts {sorted(chans)} — cannot stack "
-                "on device"
+                f"images mix channel counts {sorted(set(chans))} — cannot "
+                "stack on device"
             )
-        hs = np.array([a.shape[0] for a in arrs], np.int32)
-        ws = np.array([a.shape[1] for a in arrs], np.int32)
         crop = None if self.center_crop else self.random_crop
         if crop:
             if int(hs.min()) < crop or int(ws.min()) < crop:
@@ -203,20 +224,24 @@ class MultipleImagesDataset:
                 "images differ in size and no crop equalizes them — "
                 "cannot stack on device"
             )
-        return arrs, hs, ws
+        return hs, ws, chans[0]
 
     def stacked_nbytes(self) -> int:
         """uint8 bytes of the padded device stack :meth:`stacked_images`
-        would build (also validates stackability)."""
-        arrs, hs, ws = self._stack_check()
-        return len(arrs) * int(hs.max()) * int(ws.max()) * arrs[0].shape[-1]
+        would build (also validates stackability). Header-only — no image
+        is decoded."""
+        hs, ws, c = self._stack_meta()
+        return len(self.files) * int(hs.max()) * int(ws.max()) * c
 
     def stacked_images(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """All images as ONE (N, Hmax, Wmax, C) uint8 array (zero-padded to
         the largest per-axis extent) plus per-image valid extents (N,) int32
         ``h_valid``/``w_valid`` — the device-resident form consumed by
         :func:`sample_multi_crops_body`."""
-        arrs, hs, ws = self._stack_check()
+        self._stack_meta()  # validate before paying the full decode
+        arrs = [self._preprocessed(n) for n in self.files]
+        hs = np.array([a.shape[0] for a in arrs], np.int32)
+        ws = np.array([a.shape[1] for a in arrs], np.int32)
         stacked = np.zeros(
             (len(arrs), int(hs.max()), int(ws.max()), arrs[0].shape[-1]),
             np.uint8,
@@ -300,15 +325,23 @@ class DeviceMultiImageSampler:
         self.random_crop = None if dataset.center_crop else dataset.random_crop
 
     @classmethod
-    def maybe_build(cls, dataset, device_put=None, mesh=None, max_mb=None):
+    def maybe_build(cls, dataset, device_put=None, mesh=None, max_mb=None,
+                    batch_size=None):
         """Build when the stacked dataset fits on device; return ``(None,
-        reason)`` ONLY for the over-the-cap case (the host :class:`Prefetcher`
+        reason)`` for the over-the-cap case (the host :class:`Prefetcher`
         handles that). Stackability errors (a crop larger than the smallest
-        image, mixed channel counts, unequalized sizes) RAISE: the host path
-        would crash on the same condition anyway — possibly many steps into
-        training, when the bad image is finally drawn — so fail at startup
-        with the clear message."""
-        stacked_mb = dataset.stacked_nbytes() / 2**20  # raises if unstackable
+        image, mixed channel counts, unequalized sizes) RAISE — the host
+        path's ``np.stack`` would crash on the same condition anyway,
+        possibly many steps into training when the bad pair is finally
+        drawn — EXCEPT at ``batch_size == 1``, where every host batch stacks
+        a single image and D is fully convolutional, so variable-size
+        no-crop runs genuinely work: those fall back with a notice."""
+        try:
+            stacked_mb = dataset.stacked_nbytes() / 2**20
+        except ValueError as e:
+            if batch_size == 1:
+                return None, f"{e}; batch_size=1 host batches still work"
+            raise
         limit = cls.MAX_DEVICE_MB if max_mb is None else max_mb
         if stacked_mb > limit:
             return None, (

@@ -217,7 +217,8 @@ def train(args) -> None:
         )
     elif isinstance(dataset, MultipleImagesDataset):
         device_sampler, why_not = DeviceMultiImageSampler.maybe_build(
-            dataset, mesh=mesh, device_put=sampler_put
+            dataset, mesh=mesh, device_put=sampler_put,
+            batch_size=args.batch_size,
         )
         if device_sampler is None:
             print(

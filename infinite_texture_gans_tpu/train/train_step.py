@@ -85,7 +85,7 @@ def split_variables(variables) -> Tuple[Any, Dict[str, Any]]:
 
 
 def host_key(seed: int) -> jax.Array:
-    """Root PRNG key COMMITTED to the host CPU backend.
+    """Root PRNG key created on the host CPU backend (UNCOMMITTED).
 
     The training loop's key chain (per-epoch fold_in/split, the init key)
     runs as tiny eager ops; with an accelerator-resident root key each one

@@ -165,7 +165,12 @@ def resolve_features_fn(
         try:
             import torch
 
-            obj = torch.load(path, map_location="cpu", weights_only=False)
+            try:
+                # a plain state_dict never needs arbitrary unpickling —
+                # prefer the safe load and only fall back explicitly
+                obj = torch.load(path, map_location="cpu", weights_only=True)
+            except Exception:
+                obj = torch.load(path, map_location="cpu", weights_only=False)
             sd = obj.get("state_dict", obj) if isinstance(obj, dict) else obj
             if hasattr(sd, "state_dict"):
                 sd = sd.state_dict()
