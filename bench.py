@@ -73,6 +73,53 @@ def _supervise() -> int:
     return 1
 
 
+def _canvas_device_seconds(gen, variables, size: int, n_disp: int = 4,
+                           seed: int = 33) -> float:
+    """Per-canvas DEVICE seconds via pipelined dispatches: ``n_disp``
+    whole-canvas dispatches queued back-to-back, closed by materializing a
+    tiny slice of the LAST canvas. The slice D2H depends on the finished
+    canvas, so the barrier cannot return early (docs/PERF.md round-4
+    timing-integrity findings) — while avoiding charging the ~15 MB/s
+    tunnel wire for the full image the way the wall-clock fields do.
+    Back-to-back dispatches keep the device queue full, so this converges
+    on the xplane-traced device time to within one dispatch latency
+    (validated round 5 vs benchmarks/trace_canvas.py: 287/195 ms traced).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from infinite_texture_gans_tpu.sampling import latents
+    from infinite_texture_gans_tpu.sampling.infinite import (
+        _canvas_dispatch,
+        canvas_geometry,
+        init_halo_state,
+    )
+
+    P, gh, gw = gen.patch_resolution, gen.num_patches_h, gen.num_patches_w
+    steps_h, steps_w, tot_h, tot_w = canvas_geometry(size, size, P, gh, gw)
+    zk, mk = jax.random.split(jax.random.key(seed))
+    z_full = latents.build_z_full(zk, 1, gen.z_dim, gen.base_res, tot_h, tot_w)
+    maps_full = None
+    if gen.type_norm == "SSM":
+        maps_full = latents.build_maps_full(
+            mk, 1, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
+        )
+    halo = init_halo_state(
+        gen.site_specs(), 1, gh, gw, tot_w, dtype=gen.dtype
+    )
+    dispatch = lambda: _canvas_dispatch(
+        gen, variables, z_full, maps_full, halo, steps_h, steps_w,
+        maps_full is not None, True, size, size,
+    )
+    out = dispatch()
+    float(jax.device_get(out[0, -1, -1, 0]))  # warm + materialize
+    t0 = time.time()
+    for _ in range(n_disp):
+        out = dispatch()
+    float(jax.device_get(out[0, -1, -1, 0]))
+    return (time.time() - t0) / n_disp
+
+
 def _wait_for_backend(max_wait_s: int = 900) -> bool:
     """The axon tunnel occasionally goes down, and a backend-init attempt
     then HANGS (not errors) — which would hang this whole benchmark. Probe
@@ -324,14 +371,33 @@ def main() -> None:
         )
 
         Gt, vt, _ = load_generator_from_checkpoint(ckpt_path)
-        img_t = generate_canvas(Gt, vt, jax.random.key(21), 1024, 1024, num_images=1)
-        s_t = seam_mse(img_t, Gt.patch_resolution, width=1)
-        n_t = adjacent_mse_baseline(img_t)
-        trained_seam = {
-            "seam_ratio_trained_1024": round(s_t / max(n_t, 1e-12), 4),
-            "seam_mse_trained_1024": s_t,
-            "adjacent_mse_natural_trained": n_t,
-        }
+        # 3 latent seeds: fresh-run single-seed ratios ranged 0.89-1.14
+        # across rounds, so a single seed cannot separate a real seam
+        # regression from seed luck — report the per-seed list + mean/range
+        # (VERDICT r4 #9). Seed 21 stays first for continuity with r2-r4.
+        ratios = []
+        for sd in (21, 22, 23):
+            img_t = generate_canvas(
+                Gt, vt, jax.random.key(sd), 1024, 1024, num_images=1
+            )
+            s_t = seam_mse(img_t, Gt.patch_resolution, width=1)
+            n_t = adjacent_mse_baseline(img_t)
+            ratios.append(s_t / max(n_t, 1e-12))
+            if sd == 21:
+                trained_seam = {
+                    "seam_ratio_trained_1024": round(ratios[0], 4),
+                    "seam_mse_trained_1024": s_t,
+                    "adjacent_mse_natural_trained": n_t,
+                }
+        trained_seam["seam_ratio_trained_1024_seeds"] = [
+            round(r, 4) for r in ratios
+        ]
+        trained_seam["seam_ratio_trained_1024_mean"] = round(
+            float(np.mean(ratios)), 4
+        )
+        trained_seam["seam_ratio_trained_1024_range"] = [
+            round(min(ratios), 4), round(max(ratios), 4)
+        ]
         if os.environ.get("BENCH_SEAM_ENGINES", "1") != "0":
             img_f = generate_canvas(
                 Gt.clone(fuse_up="all"), vt, jax.random.key(21), 1024, 1024,
@@ -354,11 +420,12 @@ def main() -> None:
             )
 
     # MFU: measured throughput vs the analytic model-FLOPs bound
-    # (utils/flops.py; validated against XLA's HLO cost analysis). The
-    # canvas MFU is computed against the u8 warm WALL time, which through
-    # the axon tunnel is dominated by the ~15 MB/s wire D2H — it is the
-    # user-visible utilization, not the device's (docs/PERF.md carries the
-    # trace-based device roofline).
+    # (utils/flops.py; validated against XLA's HLO cost analysis). Canvas
+    # MFU is DEVICE-side (pipelined dispatches + materializing slice
+    # barrier, _canvas_device_seconds) — the retired
+    # mfu_canvas_1024_u8_wall field divided by tunnel wall time, which is
+    # dominated by the ~15 MB/s wire D2H: it measured the wire, not the
+    # chip (VERDICT r4 weak #1).
     from infinite_texture_gans_tpu.utils import flops as Fl
 
     step_flops = Fl.train_step_flops(
@@ -366,15 +433,100 @@ def main() -> None:
         num_images=args.num_images, disc_iters=args.disc_iters,
     )
     peak = Fl.peak_flops(jax.devices()[0], args.compute_dtype)
+
+    # device-side canvas seconds on the trained flagship G (bundled ckpt)
+    # when present, else the bench's own net — 1024^2 and the 4096^2
+    # headline the round-4 verdict asked to publish and attack
+    canvas_dev = {}
+    if os.environ.get("BENCH_CANVAS_DEVICE", "1") != "0":
+        Gc, vc = (Gt, vt) if trained_seam else (G, gen_vars)
+        canvas_dev["gen_1024_device_s"] = round(
+            _canvas_device_seconds(Gc, vc, 1024, n_disp=4), 4
+        )
+        canvas_dev["gen_4096_device_s"] = round(
+            _canvas_device_seconds(Gc, vc, 4096, n_disp=3), 4
+        )
+        if peak:
+            canvas_dev["mfu_canvas_1024_device"] = round(
+                Fl.canvas_flops(Gc, 1024, 1024)
+                / canvas_dev["gen_1024_device_s"] / peak, 4,
+            )
+            canvas_dev["mfu_canvas_4096_device"] = round(
+                Fl.canvas_flops(Gc, 4096, 4096)
+                / canvas_dev["gen_4096_device_s"] / peak, 4,
+            )
+
     mfu = {}
     if peak:
         mfu = {
             "train_step_model_tflops": round(step_flops / 1e12, 3),
             "mfu_train_step": round(step_flops * steps_per_sec / peak, 4),
-            "mfu_canvas_1024_u8_wall": round(
-                Fl.canvas_flops(G, 1024, 1024) / gen_1024_warm_u8_s / peak, 4
-            ),
         }
+
+    # SSM-mode step throughput + MFU (VERDICT r4 weak #2: the SSM recipe
+    # had no MFU/floor number). Exp-3-style shapes: SSM norm, n_layers_G 5,
+    # n_layers_D 3, crop 128 — timed through the same production superstep
+    # path as the headline. BENCH_SSM=0 skips (e.g. cold-cache hosts).
+    ssm = {}
+    if os.environ.get("BENCH_SSM", "1") != "0":
+        args_s = prepare_parser().parse_args([])
+        args_s.padding_mode = "local"
+        args_s.attention = True
+        args_s.type_norm_G = "SSM"
+        args_s.n_layers_G = 5
+        args_s.n_layers_D = 3
+        args_s.spec_norm_D = True
+        args_s.smooth = True
+        args_s.ema = True
+        args_s.random_crop = 128
+        args_s.batch_size = 64
+        args_s.num_images = 8
+        args_s.compute_dtype = args.compute_dtype
+        Gs = ResidualPatchGenerator(**generator_kwargs(args_s))
+        Ds = PatchDiscriminator(**discriminator_kwargs(args_s))
+        state_s, tx_Gs, tx_Ds = create_train_state(
+            Gs, Ds, args_s, host_key(5), steps_per_epoch=125
+        )
+        superstep_s = make_train_superstep(
+            Gs, Ds, tx_Gs, tx_Ds, crop=args_s.random_crop,
+            batch_size=args_s.batch_size, loss_type=args_s.loss,
+            smooth=args_s.smooth, disc_iters=args_s.disc_iters,
+            num_images=args_s.num_images, ema_decay=args_s.ema_decay,
+            use_ema=args_s.ema,
+        )
+        k_ssm = 125
+        n_disp_s = int(os.environ.get("BENCH_SSM_DISPATCHES", "2"))
+        ck = jax.random.split(jax.random.key(6), (n_disp_s + 2) * k_ssm)
+        sk = jax.random.split(jax.random.key(7), (n_disp_s + 2) * k_ssm)
+        img_s = jax.device_put(
+            np.random.default_rng(8).integers(
+                0, 256, (450, 600, 3), dtype=np.uint8
+            )
+        )
+        for w in range(2):  # two materialized warmups (donation layouts)
+            sl = slice(w * k_ssm, (w + 1) * k_ssm)
+            state_s, m_s = superstep_s(state_s, img_s, ck[sl], sk[sl])
+            assert np.isfinite(
+                float(np.asarray(jax.device_get(m_s["g_loss"]))[-1])
+            )
+        t0 = time.time()
+        for d in range(2, n_disp_s + 2):
+            sl = slice(d * k_ssm, (d + 1) * k_ssm)
+            state_s, m_s = superstep_s(state_s, img_s, ck[sl], sk[sl])
+        assert np.isfinite(
+            float(np.asarray(jax.device_get(m_s["g_loss"]))[-1])
+        )
+        dt_s = time.time() - t0
+        ssm_sps = n_disp_s * k_ssm / dt_s
+        flops_ssm = Fl.train_step_flops(
+            Gs, Ds, batch_size=args_s.batch_size, crop=args_s.random_crop,
+            num_images=args_s.num_images, disc_iters=args_s.disc_iters,
+        )
+        ssm = {"ssm_steps_per_sec": round(ssm_sps, 2)}
+        if peak:
+            ssm["train_step_model_tflops_ssm"] = round(flops_ssm / 1e12, 3)
+            ssm["mfu_train_step_ssm"] = round(flops_ssm * ssm_sps / peak, 4)
+        del state_s, superstep_s  # free the SSM HBM before returning
 
     baseline = None
     if os.path.exists("BENCH_BASELINE.json"):
@@ -407,6 +559,8 @@ def main() -> None:
             ),
             "engine_vs_onepass_max_err": engine_max_err,
             **mfu,
+            **canvas_dev,
+            **ssm,
             **trained_seam,
             "setup_compile_s": round(setup_s, 1),
             "backend": jax.default_backend(),
