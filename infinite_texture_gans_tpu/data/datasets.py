@@ -326,16 +326,19 @@ class DeviceMultiImageSampler:
 
     @classmethod
     def maybe_build(cls, dataset, device_put=None, mesh=None, max_mb=None,
-                    batch_size=None):
-        """Build when the stacked dataset fits on device; return ``(None,
-        reason)`` for the over-the-cap case (the host :class:`Prefetcher`
-        handles that). Stackability errors (a crop larger than the smallest
-        image, mixed channel counts, unequalized sizes) RAISE — the host
-        path's ``np.stack`` would crash on the same condition anyway,
-        possibly many steps into training when the bad pair is finally
-        drawn — EXCEPT at ``batch_size == 1``, where every host batch stacks
-        a single image and D is fully convolutional, so variable-size
-        no-crop runs genuinely work: those fall back with a notice."""
+                    batch_size=None, seed: int = 0):
+        """Build when the stacked dataset fits on device; datasets OVER the
+        cap get a :class:`RotatingMultiImageSampler` (HBM-resident subset
+        swapped at dispatch boundaries) when a >=2-image window fits, and
+        only fall back to the host :class:`Prefetcher` (``(None, reason)``)
+        when even that is impossible. Stackability errors (a crop larger
+        than the smallest image, mixed channel counts, unequalized sizes)
+        RAISE — the host path's ``np.stack`` would crash on the same
+        condition anyway, possibly many steps into training when the bad
+        pair is finally drawn — EXCEPT at ``batch_size == 1``, where every
+        host batch stacks a single image and D is fully convolutional, so
+        variable-size no-crop runs genuinely work: those fall back with a
+        notice."""
         try:
             stacked_mb = dataset.stacked_nbytes() / 2**20
         except ValueError as e:
@@ -344,10 +347,17 @@ class DeviceMultiImageSampler:
             raise
         limit = cls.MAX_DEVICE_MB if max_mb is None else max_mb
         if stacked_mb > limit:
-            return None, (
-                f"stacked dataset is {stacked_mb:.0f} MB on device "
-                f"(> {limit:.0f} MB cap)"
-            )
+            try:
+                return RotatingMultiImageSampler(
+                    dataset, limit, device_put=device_put, mesh=mesh,
+                    seed=seed,
+                ), None
+            except ValueError as e:
+                return None, (
+                    f"stacked dataset is {stacked_mb:.0f} MB on device "
+                    f"(> {limit:.0f} MB cap) and no rotating subset fits "
+                    f"({e})"
+                )
         return cls(dataset, device_put=device_put, mesh=mesh), None
 
     @property
@@ -364,6 +374,109 @@ class DeviceMultiImageSampler:
                 self.random_crop, batch_size,
             )
         return pick(self.imgs, key, batch_size)
+
+
+class RotatingMultiImageSampler:
+    """On-device multi-image sampling for datasets whose padded stack
+    EXCEEDS the device cap: a resident SUBSET of images lives in HBM and is
+    swapped at dispatch boundaries, instead of dropping to the wire-bound
+    host Prefetcher (~28 MB of H2D per step vs subset_bytes per K-step
+    dispatch — and the swap H2D is staged one window AHEAD, so it overlaps
+    the current dispatch's compute).
+
+    Distribution: each epoch walks a seeded permutation of the images in
+    windows of ``subset_size`` (wrapping cyclically), and the in-jit body
+    draws uniformly over the resident window — so per epoch every image's
+    expected draw count is equal (uniform marginal, the reference's
+    random-file-choice semantics, datasets_classes.py:85-128; images in
+    different windows never co-occur in one batch, a joint-distribution
+    difference the GAN objective does not observe). The permutation
+    derives from (seed, epoch), so ``--resume`` replays the same windows
+    (deterministic-resume contract).
+
+    Interface: ``prepare_epoch(epoch)`` once per epoch, ``img_for_chunk()``
+    per superstep dispatch (returns the window pytree and stages the next
+    window's H2D), ``sample(key, batch)`` for the per-step path (uses one
+    window per epoch)."""
+
+    kind = "multi"
+
+    def __init__(self, dataset: "MultipleImagesDataset", cap_mb: float,
+                 device_put=None, mesh=None, seed: int = 0):
+        import jax
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._put = lambda x: jax.device_put(x, NamedSharding(mesh, P()))
+            self._out_sharding = NamedSharding(mesh, P("data"))
+        else:
+            self._put = device_put or jax.device_put
+            self._out_sharding = None
+        stacked, hs, ws = dataset.stacked_images()
+        self._stack, self._hs, self._ws = stacked, hs, ws
+        n = stacked.shape[0]
+        per_img = stacked[0].nbytes
+        # double-buffered (current + staged-next window both resident):
+        # each window gets half the cap
+        m = int(cap_mb * 2**20 / 2 // per_img)
+        if m < 2 or m >= n:
+            raise ValueError(
+                f"rotating subset needs 2 <= subset < n_images "
+                f"(cap {cap_mb:.0f} MB fits {m} of {n} padded images)"
+            )
+        self.subset_size = m
+        self.n_images = n
+        self.random_crop = None if dataset.center_crop else dataset.random_crop
+        self.seed = seed
+        self._order = None
+        self._pos = 0
+        self._cur = None
+        self._nxt = None
+
+    def _stage_next(self) -> None:
+        idx = np.take(
+            self._order, np.arange(self._pos, self._pos + self.subset_size),
+            mode="wrap",
+        )
+        self._pos = (self._pos + self.subset_size) % self.n_images
+        # device_put returns without waiting for the copy: the H2D of the
+        # NEXT window streams while the CURRENT dispatch computes
+        self._nxt = (
+            self._put(self._stack[idx]),
+            self._put(self._hs[idx]),
+            self._put(self._ws[idx]),
+        )
+
+    def prepare_epoch(self, epoch: int) -> None:
+        rng = np.random.default_rng([self.seed, epoch])
+        self._order = rng.permutation(self.n_images)
+        self._pos = 0
+        self._cur = None
+        self._stage_next()
+
+    def img_for_chunk(self):
+        """The resident window pytree for the NEXT superstep dispatch;
+        stages the following window's H2D behind it."""
+        if self._order is None:
+            self.prepare_epoch(0)
+        self._cur = self._nxt
+        self._stage_next()
+        imgs, hs, ws = self._cur
+        return (imgs, hs, ws) if self.random_crop else imgs
+
+    @property
+    def img(self):
+        return self.img_for_chunk()
+
+    def sample(self, key, batch_size: int):
+        if self._cur is None:
+            self.img_for_chunk()
+        imgs, hs, ws = self._cur
+        _, _, multi, pick = _device_samplers(self._out_sharding)
+        if self.random_crop:
+            return multi(imgs, hs, ws, key, self.random_crop, batch_size)
+        return pick(imgs, key, batch_size)
 
 
 def sample_crops_body(img, key, crop: int, batch: int):

@@ -27,6 +27,7 @@ from infinite_texture_gans_tpu.data.datasets import (
     DeviceMultiImageSampler,
     MultipleImagesDataset,
     Prefetcher,
+    RotatingMultiImageSampler,
     SingleImageDataset,
     prepare_data,
 )
@@ -218,12 +219,19 @@ def train(args) -> None:
     elif isinstance(dataset, MultipleImagesDataset):
         device_sampler, why_not = DeviceMultiImageSampler.maybe_build(
             dataset, mesh=mesh, device_put=sampler_put,
-            batch_size=args.batch_size,
+            batch_size=args.batch_size, seed=args.seed,
         )
         if device_sampler is None:
             print(
                 f"on-device multi-image sampling disabled ({why_not}); "
                 "falling back to the host prefetcher"
+            )
+        elif isinstance(device_sampler, RotatingMultiImageSampler):
+            print(
+                f"multi-image dataset exceeds the device cap: rotating "
+                f"HBM subset of {device_sampler.subset_size}/"
+                f"{device_sampler.n_images} images per dispatch "
+                "(next window's H2D overlaps compute)"
             )
         else:
             print(
@@ -305,6 +313,12 @@ def train(args) -> None:
     watchdog = StallWatchdog().start()
     try:
         for epoch in range(start_epoch, args.epochs):
+            # rotating multi-image sampler: (seed, epoch)-seeded window
+            # permutation — resume replays the same windows, and each
+            # ``device_sampler.img`` access below consumes one window and
+            # stages the next window's H2D behind the running dispatch
+            if hasattr(device_sampler, "prepare_epoch"):
+                device_sampler.prepare_epoch(epoch)
             # Per-epoch keys derive from (root key, epoch index), NOT a
             # sequentially-advanced chain: a run resumed at epoch k draws
             # exactly the keys the uninterrupted run would have drawn

@@ -973,3 +973,103 @@ def test_create_train_state_init_equals_full_grid(type_norm):
         assert set(a) == set(b)
         for k in a:
             np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def _write_const_images(dirpath, n, size=56):
+    """n constant-color images — a crop's pixel value identifies its source
+    image exactly (value of image i = 30*i + 15)."""
+    import os
+
+    from PIL import Image
+
+    os.makedirs(dirpath, exist_ok=True)
+    for i in range(n):
+        arr = np.full((size, size, 3), 30 * i + 15, np.uint8)
+        Image.fromarray(arr).save(os.path.join(dirpath, f"c{i}.png"))
+    return str(dirpath)
+
+
+def test_rotating_sampler_uniform_and_deterministic(tmp_path):
+    """RotatingMultiImageSampler (VERDICT r4 weak #3 / next #4): with the
+    stack forced over the cap, maybe_build returns the rotating sampler;
+    per epoch every image is drawn ~uniformly (the declared distribution);
+    the (seed, epoch) window schedule replays exactly (resume contract) and
+    differs across epochs."""
+    from infinite_texture_gans_tpu.data.datasets import (
+        DeviceMultiImageSampler,
+        MultipleImagesDataset,
+        RotatingMultiImageSampler,
+        sample_multi_crops_body,
+    )
+
+    n, size, crop, batch = 6, 56, 32, 64
+    d = _write_const_images(tmp_path / "imgs", n, size)
+    ds = MultipleImagesDataset(d, ext="png", random_crop=crop)
+    per_img_mb = size * size * 3 / 2**20
+    cap = per_img_mb * 4.5  # double-buffered -> windows of 2 images
+    s, why = DeviceMultiImageSampler.maybe_build(ds, max_mb=cap, seed=3)
+    assert isinstance(s, RotatingMultiImageSampler), why
+    assert s.subset_size == 2 and s.n_images == n
+
+    def epoch_counts(epoch, key):
+        s.prepare_epoch(epoch)
+        counts = np.zeros(n, np.int64)
+        windows = []
+        for c in range(n // s.subset_size):  # one full epoch of chunks
+            imgs, hs, ws = s.img
+            windows.append(np.asarray(imgs[:, 0, 0, 0]))
+            batch_x = np.asarray(
+                sample_multi_crops_body(
+                    imgs, hs, ws, jax.random.fold_in(key, c), crop, batch
+                )
+            )
+            # constant-color images: any pixel identifies the source
+            vals = np.round((batch_x[:, 0, 0, 0] + 1.0) * 127.5).astype(int)
+            ids = (vals - 15) // 30
+            assert ((vals - 15) % 30 == 0).all()  # only real images drawn
+            np.add.at(counts, ids, 1)
+        return counts, np.concatenate(windows)
+
+    counts, win_a = epoch_counts(0, jax.random.key(0))
+    total = counts.sum()
+    assert total == batch * (n // 2)
+    # every image resident exactly once per epoch: E[count] = batch/2 = 32,
+    # sd ~ 4 -> +-16 is a > 4-sigma band
+    assert counts.min() >= 16 and counts.max() <= 48, counts
+
+    # same (seed, epoch) -> identical window schedule (resume replay)
+    _, win_b = epoch_counts(0, jax.random.key(0))
+    np.testing.assert_array_equal(win_a, win_b)
+    # a different epoch permutes differently (almost surely for 6!)
+    _, win_c = epoch_counts(1, jax.random.key(0))
+    assert not np.array_equal(win_a, win_c)
+
+    # per-step path: sample() serves from the current window
+    s.prepare_epoch(2)
+    b = s.sample(jax.random.key(5), 8)
+    assert b.shape == (8, crop, crop, 3)
+
+
+def test_full_train_loop_rotating_subset(tmp_path, capsys):
+    """train(args) end-to-end with the dataset forced over the device cap:
+    the rotating-subset notice prints, the superstep runs over rotating
+    windows, and training completes with finite losses."""
+    from infinite_texture_gans_tpu.data.datasets import DeviceMultiImageSampler
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    d = _write_const_images(tmp_path / "imgs", 6, 56)
+    old_cap = DeviceMultiImageSampler.MAX_DEVICE_MB
+    DeviceMultiImageSampler.MAX_DEVICE_MB = 56 * 56 * 3 * 4.5 / 2**20
+    try:
+        args = tiny_args(
+            data="multiple_images", data_path=d, data_ext="png", epochs=2,
+            saving_rate=2, seed=7, batch_size=2, sampling=6, random_crop=48,
+            fname=str(tmp_path / "rot"),
+        )
+        train(args)
+    finally:
+        DeviceMultiImageSampler.MAX_DEVICE_MB = old_cap
+    out = capsys.readouterr().out
+    assert "rotating HBM subset of 2/6 images" in out
+    ck = load_checkpoint(str(tmp_path / "rot" / "2_2.ckpt"))
+    assert np.isfinite(ck["meta"]["Gloss"]).all()
