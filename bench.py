@@ -73,20 +73,30 @@ def _supervise() -> int:
     return 1
 
 
-def _canvas_device_seconds(gen, variables, size: int, n_disp: int = 4,
-                           seed: int = 33) -> float:
-    """Per-canvas DEVICE seconds via pipelined dispatches: ``n_disp``
-    whole-canvas dispatches queued back-to-back, closed by materializing a
-    tiny slice of the LAST canvas. The slice D2H depends on the finished
-    canvas, so the barrier cannot return early (docs/PERF.md round-4
-    timing-integrity findings) — while avoiding charging the ~15 MB/s
-    tunnel wire for the full image the way the wall-clock fields do.
-    Back-to-back dispatches keep the device queue full, so this converges
-    on the xplane-traced device time to within one dispatch latency
-    (validated round 5 vs benchmarks/trace_canvas.py: 287/195 ms traced).
-    """
+def _canvas_device_seconds(gen, variables, size: int, seed: int = 33,
+                           num_images: int = 1):
+    """DEVICE seconds of ONE whole-canvas dispatch, from an xplane trace
+    (sum of device-plane op durations, control-flow wrapper events
+    excluded — benchmarks/parse_trace.py's method, inline). Host-side
+    timing CANNOT measure this program on the tunneled backend: a warm
+    1024^2 canvas dispatch costs ~450 ms of fixed per-call turnaround
+    around 17.7 ms of device time (round 5, measured), and back-to-back
+    dispatches do NOT amortize it — so only the device trace is ground
+    truth (CLAUDE.md). Returns None when the trace toolchain (tensorflow
+    protobuf defs) is unavailable."""
+    import glob
+    import tempfile
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    try:
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "benchmarks"),
+        )
+        from parse_trace import load_xspace
+    except Exception:
+        return None
     import jax
-    import jax.numpy as jnp
 
     from infinite_texture_gans_tpu.sampling import latents
     from infinite_texture_gans_tpu.sampling.infinite import (
@@ -98,14 +108,17 @@ def _canvas_device_seconds(gen, variables, size: int, n_disp: int = 4,
     P, gh, gw = gen.patch_resolution, gen.num_patches_h, gen.num_patches_w
     steps_h, steps_w, tot_h, tot_w = canvas_geometry(size, size, P, gh, gw)
     zk, mk = jax.random.split(jax.random.key(seed))
-    z_full = latents.build_z_full(zk, 1, gen.z_dim, gen.base_res, tot_h, tot_w)
+    z_full = latents.build_z_full(
+        zk, num_images, gen.z_dim, gen.base_res, tot_h, tot_w
+    )
     maps_full = None
     if gen.type_norm == "SSM":
         maps_full = latents.build_maps_full(
-            mk, 1, gen.map_dim, gen.n_layers_G, gen.base_res, tot_h, tot_w
+            mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res,
+            tot_h, tot_w,
         )
     halo = init_halo_state(
-        gen.site_specs(), 1, gh, gw, tot_w, dtype=gen.dtype
+        gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype
     )
     dispatch = lambda: _canvas_dispatch(
         gen, variables, z_full, maps_full, halo, steps_h, steps_w,
@@ -113,11 +126,33 @@ def _canvas_device_seconds(gen, variables, size: int, n_disp: int = 4,
     )
     out = dispatch()
     float(jax.device_get(out[0, -1, -1, 0]))  # warm + materialize
-    t0 = time.time()
-    for _ in range(n_disp):
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
         out = dispatch()
-    float(jax.device_get(out[0, -1, -1, 0]))
-    return (time.time() - t0) / n_disp
+        float(jax.device_get(out[0, -1, -1, 0]))
+        jax.profiler.stop_trace()
+        paths = sorted(glob.glob(f"{td}/**/*.xplane.pb", recursive=True))
+        if not paths:
+            return None
+        xs = load_xspace(paths[-1])
+    total_ps = 0
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "device" not in plane.name.lower():
+            continue
+        ev_meta = {m.id: m for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if line.name != "XLA Ops":
+                continue
+            for ev in line.events:
+                name = (
+                    ev_meta[ev.metadata_id].name
+                    if ev.metadata_id in ev_meta else "?"
+                )
+                head = name.split(" ", 1)[0]
+                if head.startswith("%while") or head.startswith("%conditional"):
+                    continue
+                total_ps += ev.duration_ps
+    return (total_ps / 1e12) or None
 
 
 def _wait_for_backend(max_wait_s: int = 900) -> bool:
@@ -440,20 +475,32 @@ def main() -> None:
     canvas_dev = {}
     if os.environ.get("BENCH_CANVAS_DEVICE", "1") != "0":
         Gc, vc = (Gt, vt) if trained_seam else (G, gen_vars)
-        canvas_dev["gen_1024_device_s"] = round(
-            _canvas_device_seconds(Gc, vc, 1024, n_disp=4), 4
-        )
-        canvas_dev["gen_4096_device_s"] = round(
-            _canvas_device_seconds(Gc, vc, 4096, n_disp=3), 4
-        )
-        if peak:
-            canvas_dev["mfu_canvas_1024_device"] = round(
-                Fl.canvas_flops(Gc, 1024, 1024)
-                / canvas_dev["gen_1024_device_s"] / peak, 4,
+        s1k = _canvas_device_seconds(Gc, vc, 1024)
+        s4k = _canvas_device_seconds(Gc, vc, 4096)
+        # the occupancy lever: N canvases through ONE scan (the batch dim
+        # of every kernel; CLI: test_sample.py --batch N) — per-canvas
+        # device time drops as the batch fills the MXU (round-5 audit: the
+        # dominant canvas cost is tiny batch-1 XLA convs at 12^2-96^2)
+        s1k_b4 = _canvas_device_seconds(Gc, vc, 1024, num_images=4)
+        if s1k:
+            canvas_dev["gen_1024_device_s"] = round(s1k, 4)
+        if s4k:
+            canvas_dev["gen_4096_device_s"] = round(s4k, 4)
+        if s1k_b4:
+            canvas_dev["gen_1024_device_s_per_canvas_b4"] = round(
+                s1k_b4 / 4, 4
             )
+        if peak and s1k:
+            canvas_dev["mfu_canvas_1024_device"] = round(
+                Fl.canvas_flops(Gc, 1024, 1024) / s1k / peak, 4
+            )
+        if peak and s4k:
             canvas_dev["mfu_canvas_4096_device"] = round(
-                Fl.canvas_flops(Gc, 4096, 4096)
-                / canvas_dev["gen_4096_device_s"] / peak, 4,
+                Fl.canvas_flops(Gc, 4096, 4096) / s4k / peak, 4
+            )
+        if peak and s1k_b4:
+            canvas_dev["mfu_canvas_1024_device_b4"] = round(
+                Fl.canvas_flops(Gc, 1024, 1024) / (s1k_b4 / 4) / peak, 4
             )
 
     mfu = {}

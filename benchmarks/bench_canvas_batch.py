@@ -25,39 +25,15 @@ import jax
 import numpy as np
 
 
-def canvas_device_seconds(gen, variables, size, num_images, n_disp=3,
-                          seed=33):
-    from infinite_texture_gans_tpu.sampling import latents
-    from infinite_texture_gans_tpu.sampling.infinite import (
-        _canvas_dispatch, canvas_geometry, init_halo_state,
-    )
+def canvas_device_seconds(gen, variables, size, num_images, seed=33):
+    """Device seconds of one canvas dispatch — xplane-traced (see
+    bench._canvas_device_seconds: host wall around this program is ~96%
+    fixed tunnel turnaround and does not amortize)."""
+    from bench import _canvas_device_seconds
 
-    P, gh, gw = gen.patch_resolution, gen.num_patches_h, gen.num_patches_w
-    steps_h, steps_w, tot_h, tot_w = canvas_geometry(size, size, P, gh, gw)
-    zk, mk = jax.random.split(jax.random.key(seed))
-    z_full = latents.build_z_full(
-        zk, num_images, gen.z_dim, gen.base_res, tot_h, tot_w
+    return _canvas_device_seconds(
+        gen, variables, size, seed=seed, num_images=num_images
     )
-    maps_full = None
-    if gen.type_norm == "SSM":
-        maps_full = latents.build_maps_full(
-            mk, num_images, gen.map_dim, gen.n_layers_G, gen.base_res,
-            tot_h, tot_w,
-        )
-    halo = init_halo_state(
-        gen.site_specs(), num_images, gh, gw, tot_w, dtype=gen.dtype
-    )
-    dispatch = lambda: _canvas_dispatch(
-        gen, variables, z_full, maps_full, halo, steps_h, steps_w,
-        maps_full is not None, True, size, size,
-    )
-    out = dispatch()
-    float(jax.device_get(out[0, -1, -1, 0]))  # warm + materialize
-    t0 = time.time()
-    for _ in range(n_disp):
-        out = dispatch()
-    float(jax.device_get(out[-1, -1, -1, 0]))
-    return (time.time() - t0) / n_disp
 
 
 def main():
@@ -76,6 +52,9 @@ def main():
     base = None
     for n in (1, 2, 4, 8):
         s = canvas_device_seconds(G, variables, size, n)
+        if s is None:
+            print(json.dumps({"error": "xplane trace toolchain unavailable"}))
+            return
         per_canvas = s / n
         if base is None:
             base = per_canvas

@@ -1073,3 +1073,29 @@ def test_full_train_loop_rotating_subset(tmp_path, capsys):
     assert "rotating HBM subset of 2/6 images" in out
     ck = load_checkpoint(str(tmp_path / "rot" / "2_2.ckpt"))
     assert np.isfinite(ck["meta"]["Gloss"]).all()
+
+
+def test_full_train_loop_rotating_subset_mesh(tmp_path, capsys):
+    """Rotating subset under --mesh data:8: windows replicate across the
+    mesh, the sharded superstep consumes them, training completes with
+    finite losses (the mesh analog of the rotating e2e above)."""
+    from infinite_texture_gans_tpu.data.datasets import DeviceMultiImageSampler
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    d = _write_const_images(tmp_path / "imgs", 6, 56)
+    old_cap = DeviceMultiImageSampler.MAX_DEVICE_MB
+    DeviceMultiImageSampler.MAX_DEVICE_MB = 56 * 56 * 3 * 4.5 / 2**20
+    try:
+        args = tiny_args(
+            data="multiple_images", data_path=d, data_ext="png", epochs=1,
+            saving_rate=1, seed=7, batch_size=8, num_images=8, sampling=8,
+            random_crop=48, fname=str(tmp_path / "rotm"),
+        )
+        args.mesh = "data:8"
+        train(args)
+    finally:
+        DeviceMultiImageSampler.MAX_DEVICE_MB = old_cap
+    out = capsys.readouterr().out
+    assert "rotating HBM subset of 2/6 images" in out
+    ck = load_checkpoint(str(tmp_path / "rotm" / "1_1.ckpt"))
+    assert np.isfinite(ck["meta"]["Gloss"]).all()
