@@ -108,10 +108,14 @@ def main():
     )
     from infinite_texture_gans_tpu.train.train_step import make_train_step
 
+    # >= 8 images: the double-buffered window (2 images) needs cap >= 4
+    # padded images while the stack must exceed the cap — impossible under
+    # n_images=4, so the rotating scenario gets its own 8-image directory
+    n_rot = max(8, n_images)
     with tempfile.TemporaryDirectory() as td:
-        for i in range(n_images):
-            h, w = sizes[i]
-            Image.fromarray(stack[i, :h, :w]).save(
+        for i in range(n_rot):
+            h, w = 440 - 8 * (i % 4), 614 - 8 * (i % 4)
+            Image.fromarray(make_texture(h, w, seed=100 + i)).save(
                 os.path.join(td, f"t{i}.png")
             )
         ds = MultipleImagesDataset(
@@ -139,7 +143,7 @@ def main():
         dt = time.time() - t0
         print(json.dumps({
             "variant": "rotating_subset",
-            "n_images": n_images,
+            "n_images": n_rot,
             "subset_size": sampler.subset_size,
             "steps_per_sec": round(n_disp * k / dt, 2),
             "ms_per_step": round(1e3 * dt / (n_disp * k), 3),
@@ -160,7 +164,7 @@ def main():
         dt = time.time() - t0
         print(json.dumps({
             "variant": "host_prefetcher",
-            "n_images": n_images,
+            "n_images": n_rot,
             "steps_per_sec": round(n_host / dt, 2),
             "ms_per_step": round(1e3 * dt / n_host, 3),
         }), flush=True)
