@@ -77,13 +77,15 @@ def main():
         )
         ck = jax.random.split(jax.random.key(1), (n_disp + 1) * k)
         sk = jax.random.split(jax.random.key(2), (n_disp + 1) * k)
-        state, _ = superstep(state, img, ck[:k], sk[:k])  # warmup/compile
-        jax.block_until_ready(state.params_G)
+        state, m = superstep(state, img, ck[:k], sk[:k])  # warmup/compile
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))[-1]))
         t0 = time.time()
         for d in range(1, n_disp + 1):
             sl = slice(d * k, (d + 1) * k)
-            state, _ = superstep(state, img, ck[sl], sk[sl])
-        jax.block_until_ready(state.params_G)
+            state, m = superstep(state, img, ck[sl], sk[sl])
+        # materializing barrier: block_until_ready can return EARLY on a
+        # degraded tunnel (docs/PERF.md round 4) — a D2H cannot lie
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))[-1]))
         dt = time.time() - t0
         print(json.dumps({
             "variant": name,
@@ -133,13 +135,13 @@ def main():
         ck = jax.random.split(jax.random.key(1), (n_disp + 1) * k)
         sk = jax.random.split(jax.random.key(2), (n_disp + 1) * k)
         sampler.prepare_epoch(0)
-        state, _ = superstep(state, sampler.img, ck[:k], sk[:k])  # compile
-        jax.block_until_ready(state.params_G)
+        state, m = superstep(state, sampler.img, ck[:k], sk[:k])  # compile
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))[-1]))
         t0 = time.time()
         for d in range(1, n_disp + 1):
             sl = slice(d * k, (d + 1) * k)
-            state, _ = superstep(state, sampler.img, ck[sl], sk[sl])
-        jax.block_until_ready(state.params_G)
+            state, m = superstep(state, sampler.img, ck[sl], sk[sl])
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))[-1]))
         dt = time.time() - t0
         print(json.dumps({
             "variant": "rotating_subset",
@@ -155,12 +157,12 @@ def main():
         step = make_train_step(G, D, tx_G, tx_D, **kw)
         pf = Prefetcher(ds, args.batch_size, n_host + 1, seed=0)
         it = iter(pf)
-        state, _ = step(state, next(it), jax.random.key(0))  # compile
-        jax.block_until_ready(state.params_G)
+        state, m = step(state, next(it), jax.random.key(0))  # compile
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))))
         t0 = time.time()
         for i, b in enumerate(it):
-            state, _ = step(state, b, jax.random.key(i + 1))
-        jax.block_until_ready(state.params_G)
+            state, m = step(state, b, jax.random.key(i + 1))
+        assert np.isfinite(float(np.asarray(jax.device_get(m["g_loss"]))))
         dt = time.time() - t0
         print(json.dumps({
             "variant": "host_prefetcher",
