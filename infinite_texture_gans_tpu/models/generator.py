@@ -131,19 +131,29 @@ class ResidualPatchGenerator(nn.Module):
     # output differs from the unfused engine at float-regrouping scale.
     fuse_up: str = "auto"
 
-    def _chw_gate(self, i: int, cin: int) -> bool:
+    def _chw_gate(self, i: int, cin: int, wide: bool = False) -> bool:
         """THE layout-decision predicate: block ``i`` (input channels
         ``cin``) runs on the channels-major Pallas tail iff this is True.
         Shared by ``__call__`` and :meth:`emits_chw` so the train step's
         wire choice can never disagree with what the forward actually does.
-        ``i > 3``: per-patch attention (after block3) needs NHWC."""
+        ``i > 3``: per-patch attention (after block3) needs NHWC.
+
+        ``wide`` (eval engines, i.e. ``not train``): the tail extends to
+        cin <= 128. The round-5 canvas trace audit found the batch-1 XLA
+        NHWC convolution of the first over-64-channel tail block (flagship
+        block4: bf16[1,96,96,52] = conv(104->52)) to be the single largest
+        op of the 4096² dispatch (31.6 of 195 ms fused) — at batch-1 the
+        MXU idles either way and W-lane density wins. TRAINING keeps the
+        measured cin <= 64 boundary: on the large merged training batches
+        XLA NHWC runs that same conv near peak (104 pads to 128 lanes,
+        only 1.23× waste), and the round-2/3 A/Bs chose 64 there."""
         capable = (
             self.padding_mode == "local"
             and not self.SN
             and self.leak == 0
             and self.chw_tail != "off"
         )
-        if not capable or i <= 3 or cin > 64:
+        if not capable or i <= 3 or cin > (128 if wide else 64):
             return False
         return self.chw_tail == "on" or jax.default_backend() == "tpu"
 
@@ -158,7 +168,10 @@ class ResidualPatchGenerator(nn.Module):
         plan = generator_channel_plan(self.G_ch, self.n_layers_G)
         fused, is_chw = set(), False
         for i, (cin, _) in enumerate(plan, start=1):
-            is_chw = is_chw or self._chw_gate(i, cin)
+            # eval-only by definition -> the WIDE gate, matching what the
+            # eval forward actually runs (round 5: the flagship's block4
+            # joins the tail at eval, so its conv1 fuses too)
+            is_chw = is_chw or self._chw_gate(i, cin, wide=True)
             if is_chw and i > 1:
                 fused.add(i)
         return frozenset(fused)
@@ -216,8 +229,9 @@ class ResidualPatchGenerator(nn.Module):
         # the rest of the stack on (N, C, H, W) arrays — NHWC would store
         # them ~10x padded in HBM (ops/pallas_conv.py). Monotone: channels
         # only shrink and widths only grow down the stack. The gate itself
-        # lives on the module (``_chw_gate``) so ``emits_chw`` stays in sync.
-        chw_gate = self._chw_gate
+        # lives on the module (``_chw_gate``) so ``emits_chw`` stays in
+        # sync; eval engines take the WIDE gate (cin <= 128, see there).
+        chw_gate = lambda i, cin: self._chw_gate(i, cin, wide=not train)
 
         is_chw = False
         cur_stats = None  # producer-kernel BN moments threaded block to block

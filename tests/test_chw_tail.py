@@ -272,3 +272,149 @@ def test_ssm_grads_match():
             np.asarray(b) / gscale, np.asarray(a) / gscale,
             atol=5e-5, rtol=1e-3, err_msg=str(path),
         )
+
+
+class TestWideEvalGate:
+    """Round 5: at EVAL the chw tail extends to cin <= 128 (the flagship's
+    block4 conv(104->52) was the single largest op of the 4096² canvas
+    dispatch — batch-1 NHWC XLA). G_ch=34/n5 puts block4 at cin=68, i.e.
+    inside the wide band: the eval one-pass must match the pure-XLA path
+    on shared variables, the halo engine must stay bit-exact vs the
+    one-pass oracle, and TRAINING must keep the narrow (cin<=64) gate."""
+
+    def _cfg(self, type_norm="BN"):
+        return dict(
+            z_dim=16, G_ch=34, base_res=4, n_layers_G=5, attention=True,
+            img_ch=3, type_norm=type_norm, map_dim=1,
+            padding_mode="local", outer_padding="replicate",
+        )
+
+    def test_gate_bands(self):
+        gen = ResidualPatchGenerator(**self._cfg(), chw_tail="on")
+        # block4 cin=68: wide (eval) yes, narrow (train) no
+        assert gen._chw_gate(4, 68, wide=True)
+        assert not gen._chw_gate(4, 68, wide=False)
+        assert not gen._chw_gate(4, 130, wide=True)  # above the wide band
+        assert not gen._chw_gate(3, 68, wide=True)  # attention needs NHWC
+
+    def test_eval_one_pass_matches_xla(self):
+        cfg = self._cfg()
+        gen_ref = ResidualPatchGenerator(**cfg, chw_tail="off")
+        gen_chw = ResidualPatchGenerator(**cfg, chw_tail="on")
+        z = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+        variables = dict(jax.jit(
+            lambda z: gen_ref.init(jax.random.key(0), z, train=True)
+        )(z))
+        y_ref, _ = jax.jit(lambda v, z: gen_ref.apply(v, z, train=False))(
+            variables, z
+        )
+        y_chw, _ = jax.jit(lambda v, z: gen_chw.apply(v, z, train=False))(
+            variables, z
+        )
+        np.testing.assert_allclose(
+            np.asarray(y_chw), np.asarray(y_ref), atol=5e-5, rtol=1e-4
+        )
+
+    def test_train_forward_keeps_narrow_gate(self):
+        """Same variables, train=True: 'on' vs 'off' still agree (the wide
+        band applies only at eval, so block4 stays NHWC in training)."""
+        cfg = self._cfg()
+        gen_ref = ResidualPatchGenerator(**cfg, chw_tail="off")
+        gen_chw = ResidualPatchGenerator(**cfg, chw_tail="on")
+        z = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+        variables = dict(jax.jit(
+            lambda z: gen_ref.init(jax.random.key(0), z, train=True)
+        )(z))
+
+        def fwd(gen, v, z):
+            (y, _), upd = gen.apply(v, z, train=True, mutable=["batch_stats"])
+            return y, upd["batch_stats"]
+
+        y_ref, bs_ref = jax.jit(lambda v, z: fwd(gen_ref, v, z))(variables, z)
+        y_chw, bs_chw = jax.jit(lambda v, z: fwd(gen_chw, v, z))(variables, z)
+        np.testing.assert_allclose(
+            np.asarray(y_chw), np.asarray(y_ref), atol=5e-5, rtol=1e-4
+        )
+        for (path, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_ref),
+            jax.tree_util.tree_leaves_with_path(bs_chw),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=1e-5, rtol=1e-5,
+                err_msg=str(path),
+            )
+
+    @pytest.mark.parametrize("type_norm", ["BN", "SSM"])
+    def test_halo_engine_matches_one_pass(self, type_norm):
+        """The decisive oracle with a wide-band block in the tail: the
+        stateful patch-by-patch engine == the one-pass forward on CPU f32.
+
+        Tolerance note: at these widths the two engines differ at ~1e-6
+        max — measured IDENTICALLY on the pre-wide-gate code at G_ch=32
+        (whose block4 cin=64 was already inside the narrow band), so it is
+        a pre-existing property: XLA's CPU convolutions in the NHWC head
+        (blocks 1-3 + attention) tile their reductions width-dependently
+        (5-patch one-pass rows vs 3-patch raster grids). The EXACT-zero
+        bit-exactness claims live at the widths where they hold
+        (tests/test_halo.py tiny nets: diff == 0.0)."""
+        from infinite_texture_gans_tpu.sampling.infinite import (
+            generate_canvas,
+            generate_one_pass,
+        )
+        from infinite_texture_gans_tpu.sampling.latents import (
+            build_maps_full,
+            build_z_full,
+        )
+
+        cfg = self._cfg(type_norm)
+        gen = ResidualPatchGenerator(**cfg, chw_tail="on")
+        z = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+        maps = (
+            latents.build_train_maps(jax.random.key(2), 1, 1, 5, 4, 3, 3)
+            if type_norm == "SSM" else None
+        )
+        variables = dict(jax.jit(
+            lambda: gen.init(jax.random.key(0), z, maps, train=True)
+        )())
+        P = gen.patch_resolution
+        tot_h = tot_w = 5  # 2x2 raster steps
+        z_full = build_z_full(jax.random.key(3), 1, 16, 4, tot_h, tot_w)
+        maps_full = (
+            build_maps_full(jax.random.key(4), 1, 1, 5, 4, tot_h, tot_w)
+            if type_norm == "SSM" else None
+        )
+        pbp = generate_canvas(
+            gen, variables, jax.random.key(5), 5 * P, 5 * P, num_images=1,
+            z_full=z_full, maps_full=maps_full,
+        )
+        onep = np.asarray(
+            generate_one_pass(gen, variables, z_full, maps_full, 2, 2)
+        )
+        np.testing.assert_allclose(np.asarray(pbp), onep, atol=1e-5, rtol=0)
+
+    def test_fused_wide_halo_matches_one_pass(self):
+        """fuse_up='all' with a wide-band block: block4's conv1 fuses at
+        eval too (eval_fuse_blocks uses the wide gate, so site_specs and
+        the forward agree on the half-res conv1 cache). Fused pbp == fused
+        one-pass — the fused engine's own oracle, at the wide width."""
+        from infinite_texture_gans_tpu.sampling.infinite import (
+            generate_canvas,
+            generate_one_pass,
+        )
+        from infinite_texture_gans_tpu.sampling.latents import build_z_full
+
+        cfg = self._cfg()
+        gen = ResidualPatchGenerator(**cfg, chw_tail="on", fuse_up="all")
+        assert 4 in gen.eval_fuse_blocks()
+        z = latents.build_train_z(jax.random.key(1), 1, 16, 4, 3, 3)
+        variables = dict(jax.jit(
+            lambda: gen.init(jax.random.key(0), z, train=True)
+        )())
+        P = gen.patch_resolution
+        z_full = build_z_full(jax.random.key(3), 1, 16, 4, 5, 5)
+        pbp = generate_canvas(
+            gen, variables, jax.random.key(5), 5 * P, 5 * P, num_images=1,
+            z_full=z_full,
+        )
+        onep = np.asarray(generate_one_pass(gen, variables, z_full, None, 2, 2))
+        np.testing.assert_allclose(np.asarray(pbp), onep, atol=1e-5, rtol=0)
