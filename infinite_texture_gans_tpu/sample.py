@@ -19,6 +19,22 @@ from infinite_texture_gans_tpu.sampling.tiled import sample_from_gen
 from infinite_texture_gans_tpu.train.checkpoint import load_generator_from_checkpoint
 
 
+def save_batch(imgs: np.ndarray, saving_path: str) -> None:
+    """Save every canvas of a ``--batch N`` run: the first at the requested
+    name (the reference saves exactly one image, test_sample.py:79), the
+    rest as ``<stem>_k<ext>``. N canvases through ONE raster dispatch is
+    the throughput mode — per-canvas device time drops ~30-43% and a
+    tunneled host pays one dispatch turnaround instead of N
+    (docs/PERF.md round 5); discarding N-1 of them would waste that."""
+    save_image(imgs[0], saving_path)
+    print("The image is saved as:", saving_path)
+    stem, ext = os.path.splitext(saving_path)
+    for k in range(1, imgs.shape[0]):
+        p = f"{stem}_{k}{ext}"
+        save_image(imgs[k], p)
+        print("The image is saved as:", p)
+
+
 def save_image(img: np.ndarray, path: str) -> None:
     """(H, W, C) float in [-1, 1] -> image file ((img*0.5+0.5), reference
     test_sample.py:79). Rounds like torchvision's save_image
@@ -177,8 +193,7 @@ def main():
             )
         folder = os.path.dirname(args_sample.model_path)
         saving_path = os.path.join(folder, args_sample.output_name)
-        print("The image is saved as:", saving_path)
-        save_image(img_u8[0], saving_path)
+        save_batch(np.asarray(img_u8), saving_path)
         return
     else:
         scale = 2 ** (netG.n_layers_G - 1)
@@ -196,8 +211,7 @@ def main():
 
     folder = os.path.dirname(args_sample.model_path)
     saving_path = os.path.join(folder, args_sample.output_name)
-    print("The image is saved as:", saving_path)
-    save_image(img[0], saving_path)
+    save_batch(np.asarray(img), saving_path)
 
 
 if __name__ == "__main__":

@@ -603,3 +603,47 @@ def test_sample_cli_mesh_wavefront(tmp_path, monkeypatch):
     sample_cli.main()
     c = np.asarray(Image.open(tmp_path / "wf.png"))
     assert c.shape == a.shape and c.std() > 1
+
+
+def test_sample_cli_batch_saves_all(tmp_path, monkeypatch):
+    """--batch N (throughput mode: N canvases through ONE raster dispatch)
+    saves every canvas — the first at the requested name, the rest as
+    <stem>_k<ext> — and different batch lanes get different latents."""
+    import sys
+
+    from infinite_texture_gans_tpu import sample as sample_cli
+    from infinite_texture_gans_tpu.config import args_to_dict, prepare_parser
+    from infinite_texture_gans_tpu.train.checkpoint import save_checkpoint
+
+    gen = tiny_gen()
+    z0 = jnp.zeros((1, 14, 14, 8))
+    variables = jax.jit(lambda z: gen.init(jax.random.key(0), z, train=True))(z0)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    args = prepare_parser().parse_args([])
+    args.z_dim = 8
+    args.G_ch = 8
+    args.n_layers_G = 4
+    args.attention = False
+    args.padding_mode = "local"
+    ckpt = str(tmp_path / "tiny__ema.ckpt")
+    save_checkpoint(ckpt, {"meta": {"args": args_to_dict(args)},
+                           "netG_variables": variables})
+
+    P_res = gen.patch_resolution
+    monkeypatch.setattr(sys, "argv", [
+        "sample", "--model_path", ckpt, "--output_name", "b.png",
+        "--batch", "3", "--seed", "5",
+        "--output_resolution_height", str(3 * P_res),
+        "--output_resolution_width", str(3 * P_res),
+    ])
+    sample_cli.main()
+    from PIL import Image
+
+    imgs = [np.asarray(Image.open(tmp_path / n))
+            for n in ("b.png", "b_1.png", "b_2.png")]
+    for im in imgs:
+        assert im.shape == imgs[0].shape and im.std() > 1
+    assert not np.array_equal(imgs[0], imgs[1])
+    assert not np.array_equal(imgs[1], imgs[2])
