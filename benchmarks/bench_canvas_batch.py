@@ -7,9 +7,10 @@ canvas step — a batch-1 shape that leaves the MXU underoccupied
 weak #1). The engine has always supported generating N canvases in one
 scan (``num_images`` — the batch dim of every kernel); this measures how
 much of the per-step fixed cost that amortizes: device seconds per CANVAS
-at N=1/2/4/8, via the same pipelined-dispatch + materializing-slice-
-barrier method as bench.py's _canvas_device_seconds. The user-facing form
-is ``test_sample.py --batch N`` (N textures from one dispatch).
+at N=1/2/4/8, xplane-traced via bench.py's _canvas_device_seconds (host
+wall around a warm canvas dispatch is ~96% fixed tunnel turnaround and
+does not amortize — docs/PERF.md round 5). The user-facing form is
+``test_sample.py --batch N`` (N textures from one dispatch, all saved).
 
 Usage: python benchmarks/bench_canvas_batch.py [size] [ckpt]
 """
