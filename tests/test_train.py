@@ -1099,3 +1099,33 @@ def test_full_train_loop_rotating_subset_mesh(tmp_path, capsys):
     assert "rotating HBM subset of 2/6 images" in out
     ck = load_checkpoint(str(tmp_path / "rotm" / "1_1.ckpt"))
     assert np.isfinite(ck["meta"]["Gloss"]).all()
+
+
+def test_rotating_window_residency_fairness(tmp_path):
+    """Window-schedule property, across n/subset combos (incl. n not
+    divisible by the subset size): walking the per-epoch permutation in
+    wrapping windows gives every image a residency count within 1 window
+    of every other over any epoch, and consecutive epochs differ."""
+    from infinite_texture_gans_tpu.data.datasets import (
+        DeviceMultiImageSampler,
+        MultipleImagesDataset,
+        RotatingMultiImageSampler,
+    )
+
+    for n, size in ((5, 40), (7, 40), (9, 40)):
+        d = _write_const_images(tmp_path / f"imgs{n}", n, size)
+        ds = MultipleImagesDataset(d, ext="png", random_crop=24)
+        cap = size * size * 3 / 2**20 * 4.5  # windows of 2
+        s, why = DeviceMultiImageSampler.maybe_build(ds, max_mb=cap, seed=1)
+        assert isinstance(s, RotatingMultiImageSampler), (n, why)
+        m = s.subset_size
+        chunks = 3 * n  # several wraps
+        counts = np.zeros(n, np.int64)
+        s.prepare_epoch(0)
+        for _ in range(chunks):
+            imgs, hs, ws = s.img
+            ids = ((np.asarray(imgs[:, 0, 0, 0]).astype(int) - 15) // 30)
+            np.add.at(counts, ids, 1)
+        assert counts.sum() == chunks * m
+        # cyclic wrapping over a permutation: residency spread <= 1
+        assert counts.max() - counts.min() <= 1, (n, m, counts)
