@@ -346,8 +346,17 @@ def main() -> None:
                     help="local pretrained AlexNet state_dict (.pth) for "
                     "paper-comparable features; default: $"
                     + WEIGHTS_ENV + " or the fixed random pyramid")
+    ap.add_argument("--platform", default="cpu",
+                    choices=["auto", "cpu", "tpu"],
+                    help="JAX platform for the feature convs (default cpu: "
+                    "the metrics are tiny and a tunneled accelerator adds "
+                    "compile latency + hang risk; env vars cannot re-pin "
+                    "a sitecustomize-pinned platform — only jax.config)")
     args = ap.parse_args()
 
+    from infinite_texture_gans_tpu.config import apply_platform
+
+    apply_platform(args)  # before any backend touch
     from infinite_texture_gans_tpu import route_cache_for_backend
 
     route_cache_for_backend()  # ambient-CPU sessions use the per-host dir
