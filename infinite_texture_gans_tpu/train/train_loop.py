@@ -129,6 +129,23 @@ def train(args) -> None:
             "Warning: --num_workers is ignored — single-image batches are "
             "sampled on device and the host prefetcher is a single thread"
         )
+    # Deterministic resume needs the ORIGINAL run's seed: per-epoch keys
+    # derive from fold_in(root_key(seed), epoch), so a resumed run that
+    # drew a fresh random seed would replay epochs with different
+    # crops/latents (caught round 5 on hardware: a no---seed resume
+    # diverged from the uninterrupted run at the first resumed epoch).
+    # The checkpoint stores the seed — restore it unless the user
+    # explicitly overrides with --seed.
+    resume_ckpt = None
+    if getattr(args, "resume", None):
+        resume_ckpt = load_checkpoint(args.resume)
+        ckpt_seed = resume_ckpt.get("meta", {}).get("seed")
+        if args.seed is None and ckpt_seed is not None:
+            args.seed = int(ckpt_seed)
+            print(
+                f"--resume: restored the run's seed {args.seed} from the "
+                "checkpoint (deterministic resume; pass --seed to override)"
+            )
     seed = prepare_seed(args)
     print(args)
 
@@ -193,8 +210,8 @@ def train(args) -> None:
     start_time = time.time()
     G_losses, D_losses = [], []
     start_epoch = 0
-    if getattr(args, "resume", None):
-        ckpt = load_checkpoint(args.resume)
+    if resume_ckpt is not None:
+        ckpt = resume_ckpt
         state, start_epoch = restore_train_state(state, ckpt, steps_per_epoch)
         G_losses = list(ckpt["meta"].get("Gloss", []))
         D_losses = list(ckpt["meta"].get("Dloss", []))

@@ -1129,3 +1129,47 @@ def test_rotating_window_residency_fairness(tmp_path):
         assert counts.sum() == chunks * m
         # cyclic wrapping over a permutation: residency spread <= 1
         assert counts.max() - counts.min() <= 1, (n, m, counts)
+
+
+def test_resume_without_seed_restores_checkpoint_seed(tmp_path, capsys):
+    """--resume with NO --seed must restore the original run's seed from
+    the checkpoint (caught round 5 on hardware: a seedless resume drew a
+    fresh random seed and diverged from the uninterrupted run at the first
+    resumed epoch). Resumed(seed=None) == uninterrupted(the seed the first
+    run drew)."""
+    from infinite_texture_gans_tpu.train.train_loop import train
+
+    tex = write_texture(str(tmp_path / "tex.png"), 64, 64)
+    common = dict(
+        data_path=tex, data_ext="png", saving_rate=2, batch_size=2,
+        sampling=4, ema=True,
+    )
+    # first leg: NO seed — prepare_seed draws a random one, stored in meta
+    args_a = tiny_args(epochs=2, fname=str(tmp_path / "half"), seed=None,
+                       **common)
+    train(args_a)
+    drawn = load_checkpoint(str(tmp_path / "half" / "2_2.ckpt"))["meta"]["seed"]
+
+    # resume, still with NO seed: must pick up `drawn` from the checkpoint
+    args_b = tiny_args(epochs=4, fname=str(tmp_path / "resumed"), seed=None,
+                       **common)
+    args_b.resume = str(tmp_path / "half" / "2_2.ckpt")
+    train(args_b)
+    out = capsys.readouterr().out
+    assert f"restored the run's seed {drawn}" in out
+
+    # uninterrupted 4-epoch run with that seed, for comparison
+    args_full = tiny_args(epochs=4, fname=str(tmp_path / "full"), seed=drawn,
+                          **common)
+    train(args_full)
+
+    full = load_checkpoint(str(tmp_path / "full" / "4_4.ckpt"))
+    resumed = load_checkpoint(str(tmp_path / "resumed" / "4_4.ckpt"))
+    np.testing.assert_allclose(
+        full["meta"]["Gloss"], resumed["meta"]["Gloss"], rtol=1e-5, atol=1e-6
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full["netG_variables"]),
+        jax.tree_util.tree_leaves(resumed["netG_variables"]),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
